@@ -1,0 +1,24 @@
+"""Test configuration: run everything on CPU with 8 virtual devices so
+multi-chip sharding logic is exercised without TPU hardware.
+
+Note: the axon sitecustomize force-registers the TPU backend regardless of
+JAX_PLATFORMS, so we must override via jax.config before any backend use.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
