@@ -1,0 +1,142 @@
+"""Dense-window equivalents of submanifold sparse 3D convolutions.
+
+A submanifold sparse conv (spconv SubMConv3d, reference models/modules.py:
+249-271) computes, at each *active* site p, sum_k W_k · x[p+k] where x is
+zero at inactive sites. That is mathematically identical to a dense 3D conv
+over a volume whose inactive voxels are zeroed, with outputs read at active
+sites only. On TPU the dense form is the fast path: regular, static, and
+tiled onto the MXU by XLA — no gather/scatter at all. These modules keep an
+explicit active mask and re-zero after every conv so the equivalence is
+exact layer after layer.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def _mask3(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    return x * mask[..., None].astype(x.dtype)
+
+
+class SubMConv3dDense(nn.Module):
+    """Masked dense 3D conv == spconv SubMConv3d on the active set.
+
+    x: [X, Y, Z, Cin] (or batched [..., X, Y, Z, Cin]); mask: [X, Y, Z] bool.
+    Xavier-uniform weights + zero bias (reference models/modules.py:256-258).
+    """
+    features: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x, mask):
+        x = _mask3(x, mask)
+        batched = x.ndim == 5
+        if not batched:
+            x = x[None]
+        y = nn.Conv(self.features, (self.kernel,) * 3, padding="SAME",
+                    kernel_init=nn.initializers.xavier_uniform())(x)
+        if not batched:
+            y = y[0]
+        return _mask3(y, mask)
+
+
+class MaskedLayerNorm3d(nn.Module):
+    """Per-voxel LayerNorm applied at active sites (LN is pointwise over
+    channels, so masking is only needed to keep inactive sites at zero)."""
+    @nn.compact
+    def __call__(self, x, mask):
+        return _mask3(nn.LayerNorm()(x), mask)
+
+
+class MaskedBatchNorm3d(nn.Module):
+    """BatchNorm over active voxels of a dense volume (== torch BatchNorm1d
+    over the sparse active set)."""
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask):
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(c))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(c))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            w = mask.astype(x.dtype)[..., None]
+            n = jnp.maximum(jnp.sum(w), 1.0)
+            mean = jnp.sum(x * w, axis=tuple(range(x.ndim - 1))) / n
+            var = jnp.sum(w * (x - mean) ** 2, axis=tuple(range(x.ndim - 1))) / n
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        y = (x - mean) / jnp.sqrt(var + self.epsilon) * scale + bias
+        return _mask3(y, mask)
+
+
+class SubMConv3dBlockDense(nn.Module):
+    """SubM conv + LayerNorm + ReLU (reference models/modules.py:440-452)."""
+    features: int
+    kernel: int
+
+    @nn.compact
+    def __call__(self, x, mask):
+        x = SubMConv3dDense(self.features, self.kernel)(x, mask)
+        x = nn.LayerNorm()(x)
+        return _mask3(nn.relu(x), mask)
+
+
+class Sparse3dELANDense(nn.Module):
+    """Sparse ELAN aggregation on the dense window
+    (reference models/modules.py:401-438 Spares3dELAN)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, mask):
+        f1 = SubMConv3dBlockDense(self.dim, 1)(x, mask)
+        f2 = SubMConv3dBlockDense(self.dim, 1)(x, mask)
+        agg = jnp.concatenate([f1, f2], axis=-1)
+        f2 = SubMConv3dBlockDense(self.dim // 2, 3)(f2, mask)
+        agg = jnp.concatenate([agg, f2], axis=-1)
+        f2 = SubMConv3dBlockDense(self.dim // 2, 3)(f2, mask)
+        agg = jnp.concatenate([agg, f2], axis=-1)
+        f2 = SubMConv3dBlockDense(self.dim // 2, 3)(f2, mask)
+        agg = jnp.concatenate([agg, f2], axis=-1)
+        f2 = SubMConv3dBlockDense(self.dim // 2, 3)(f2, mask)
+        agg = jnp.concatenate([agg, f2], axis=-1)
+        return SubMConv3dBlockDense(self.dim, 1)(agg, mask)
+
+
+def _box_count(mask: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Count of True cells in each kxkxk window (SAME padding)."""
+    import jax.lax as lax
+
+    x = mask.astype(jnp.float32)[None, None]  # NCXYZ
+    w = jnp.ones((1, 1, k, k, k), jnp.float32)
+    y = lax.conv_general_dilated(x, w, window_strides=(1, 1, 1),
+                                 padding="SAME")
+    return y[0, 0]
+
+
+def erode(mask: jnp.ndarray, kernel_size: int = 3) -> jnp.ndarray:
+    """Binary erosion via conv (reference models/neucon_network.py:216-221)."""
+    return _box_count(mask, kernel_size) == float(kernel_size ** 3)
+
+
+def dilate(mask: jnp.ndarray, kernel_size: int = 3) -> jnp.ndarray:
+    """Binary dilation via conv (reference models/neucon_network.py:223-228)."""
+    return _box_count(mask, kernel_size) >= 1.0
+
+
+def maxpool3d(mask_or_vol: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Max-pool a [X,Y,Z] volume by integer factor (occupancy downsampling,
+    reference models/neucon_network.py:306,334)."""
+    x, y, z = mask_or_vol.shape
+    v = mask_or_vol.reshape(x // factor, factor, y // factor, factor,
+                            z // factor, factor)
+    return v.max(axis=(1, 3, 5))

@@ -1,0 +1,125 @@
+"""Differentiable back-projection of multi-view image features into voxels.
+
+TPU-native equivalent of the reference's Back_Project / get_img_feats and the
+variance feature of the occupancy initialization
+(reference: models/occupancy_initialization.py:61-182 [variance path],
+ :185-261 [mean path]). Pure jnp: project every voxel into every view,
+bilinearly sample (torch grid_sample align_corners=True, zeros padding
+semantics), mask out-of-frustum samples, reduce across views.
+
+Shapes are static: voxels are capacity-padded [K] with a valid mask; batch
+is carried in coords[:, 0] and resolved through a flattened [V, B*H*W, C]
+image gather.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def bilinear_sample_flat(images: jnp.ndarray, batch_idx: jnp.ndarray,
+                         uv: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Bilinear sample with zero padding outside the image.
+
+    images: [B*H*W, C] flattened; batch_idx: int32 [N]; uv: [N, 2] pixel
+    coords (align_corners=True convention: uv in [0, size-1] maps exactly
+    onto pixel centers). Returns [N, C].
+    """
+    u, v = uv[..., 0], uv[..., 1]
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    du = u - u0
+    dv = v - v0
+
+    out = None
+    for cy, cx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        px = u0 + cx
+        py = v0 + cy
+        wgt = ((du if cx else 1 - du) * (dv if cy else 1 - dv))
+        inb = (px >= 0) & (px <= w - 1) & (py >= 0) & (py <= h - 1)
+        pxi = jnp.clip(px, 0, w - 1).astype(jnp.int32)
+        pyi = jnp.clip(py, 0, h - 1).astype(jnp.int32)
+        flat = batch_idx * (h * w) + pyi * w + pxi
+        samp = images[flat]  # [N, C]
+        term = samp * (wgt * inb)[..., None]
+        out = term if out is None else out + term
+    return out
+
+
+def project_to_views(coords: jnp.ndarray, valid: jnp.ndarray, origin: jnp.ndarray,
+                     voxel_size: float, proj: jnp.ndarray, h: int, w: int
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Project voxels into all views.
+
+    coords: int32 [K, 4] (b,x,y,z) in fine-voxel units; origin: [B, 3] world
+    origin of the fragment; proj: [V, B, 4, 4] world→pixel.
+    Returns (uv [V, K, 2] pixel coords, mask [V, K] in-frustum & valid).
+    Matches reference models/occupancy_initialization.py:87-102 in-bounds test.
+    """
+    b = coords[:, 0]
+    world = coords[:, 1:].astype(jnp.float32) * voxel_size + origin[b]  # [K,3]
+    pts = jnp.concatenate([world, jnp.ones_like(world[:, :1])], axis=1)  # [K,4]
+    proj_k = proj[:, b]  # [V, K, 4, 4]
+    cam = jnp.einsum("vkij,kj->vki", proj_k, pts)  # [V, K, 4]
+    z = cam[..., 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    u = cam[..., 0] / safe_z
+    v = cam[..., 1] / safe_z
+    mask = (u >= 0) & (u <= w - 1) & (v >= 0) & (v <= h - 1) & (z > 0) & valid[None, :]
+    return jnp.stack([u, v], axis=-1), mask
+
+
+def back_project_mean(coords: jnp.ndarray, valid: jnp.ndarray, origin: jnp.ndarray,
+                      voxel_size: float, feats: jnp.ndarray, proj: jnp.ndarray
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Average visible-view features per voxel (reference Back_Project,
+    models/occupancy_initialization.py:189-261).
+
+    feats: [V, B, H, W, C]; returns (mean feats [K, C], count [K] float).
+    """
+    vv, bb, h, w, c = feats.shape
+    uv, mask = project_to_views(coords, valid, origin, voxel_size, proj, h, w)
+    flat_imgs = feats.reshape(vv, bb * h * w, c)
+    b = coords[:, 0]
+    total = None
+    for view in range(vv):
+        s = bilinear_sample_flat(flat_imgs[view], b, uv[view], h, w)
+        s = s * mask[view][:, None]
+        total = s if total is None else total + s
+    count = jnp.sum(mask.astype(jnp.float32), axis=0)  # [K]
+    mean = total / jnp.maximum(count, 1.0)[:, None]
+    return mean, count
+
+
+def back_project_variance(coords: jnp.ndarray, valid: jnp.ndarray, origin: jnp.ndarray,
+                          voxel_size: float, feats: jnp.ndarray, proj: jnp.ndarray
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cross-view feature variance per voxel — the occupancy-init matching
+    cost (reference models/occupancy_initialization.py:119-128).
+
+    feats: [V, B, H, W, C]; returns (variance [K, C], count [K] float).
+    Variance is over visible views: E[(x - mean)^2] with masked mean.
+    Computed streaming (sum & sum-of-squares) so the [V, K, C] tensor is
+    never materialized.
+    """
+    vv, bb, h, w, c = feats.shape
+    uv, mask = project_to_views(coords, valid, origin, voxel_size, proj, h, w)
+    flat_imgs = feats.reshape(vv, bb * h * w, c)
+    b = coords[:, 0]
+    s1 = None
+    s2 = None
+    for view in range(vv):
+        s = bilinear_sample_flat(flat_imgs[view], b, uv[view], h, w)
+        s = s * mask[view][:, None]
+        s1 = s if s1 is None else s1 + s
+        sq = s * s
+        s2 = sq if s2 is None else s2 + sq
+    count = jnp.sum(mask.astype(jnp.float32), axis=0)
+    denom = jnp.maximum(count, 1.0)[:, None]
+    mean = s1 / denom
+    # E[x^2] - mean^2 over visible views (masked entries contribute 0 to s2
+    # and to s1, matching the reference's mask-weighted sums)
+    var = s2 / denom - mean * mean
+    var = jnp.maximum(var, 0.0)
+    return var, count

@@ -1,0 +1,89 @@
+"""Back-projection vs a torch grid_sample oracle (reference math,
+models/occupancy_initialization.py:79-128,189-261)."""
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from eprecon_tpu.ops import back_project as bp
+
+
+def _setup(rng, n_views=4, bs=2, h=12, w=16, c=5, k=64, n_active=50):
+    feats = rng.standard_normal((n_views, bs, h, w, c)).astype(np.float32)
+    # simple pinhole cameras at slightly different positions
+    projs = []
+    for v in range(n_views):
+        kmat = np.array([[20.0, 0, w / 2], [0, 20.0, h / 2], [0, 0, 1]], np.float32)
+        pose = np.eye(4, dtype=np.float32)
+        pose[0, 3] = 0.1 * v  # shift camera along x
+        world2cam = np.linalg.inv(pose)
+        pm = np.eye(4, dtype=np.float32)
+        pm[:3, :4] = kmat @ world2cam[:3, :4]
+        projs.append(pm)
+    proj = np.stack([np.stack(projs)] * bs, axis=1)  # [V, B, 4, 4]
+
+    coords = np.zeros((k, 4), np.int32)
+    coords[:n_active, 0] = rng.integers(0, bs, n_active)
+    coords[:n_active, 1:] = rng.integers(0, 8, (n_active, 3))
+    valid = np.arange(k) < n_active
+    origin = np.tile(np.array([[-0.2, -0.2, 0.5]], np.float32), (bs, 1))
+    voxel_size = 0.1
+    return feats, proj, coords, valid, origin, voxel_size
+
+
+def _torch_oracle(feats, proj, coords, valid, origin, voxel_size, variance):
+    """Replicates reference occupancy_initialization.py math with torch."""
+    n_views, bs, h, w, c = feats.shape
+    k = coords.shape[0]
+    out = np.zeros((k, c), np.float32)
+    count = np.zeros(k, np.float32)
+    for b in range(bs):
+        sel = valid & (coords[:, 0] == b)
+        if not sel.any():
+            continue
+        cw = coords[sel, 1:].astype(np.float32) * voxel_size + origin[b]
+        n = cw.shape[0]
+        rs = np.concatenate([cw, np.ones((n, 1), np.float32)], 1).T  # [4, N]
+        im_p = proj[:, b] @ rs  # [V, 4, N]
+        im_x, im_y, im_z = im_p[:, 0], im_p[:, 1], im_p[:, 2]
+        im_x, im_y = im_x / im_z, im_y / im_z
+        im_grid = np.stack([2 * im_x / (w - 1) - 1, 2 * im_y / (h - 1) - 1], -1)
+        mask = (np.abs(im_grid) <= 1).sum(-1) == 2
+        mask = mask & (im_z > 0)  # [V, N]
+        tfeats = torch.from_numpy(feats[:, b].transpose(0, 3, 1, 2))  # [V, C, H, W]
+        grid = torch.from_numpy(im_grid.astype(np.float32)).view(n_views, 1, -1, 2)
+        sampled = F.grid_sample(tfeats, grid, padding_mode="zeros", align_corners=True)
+        sampled = sampled.view(n_views, c, n).numpy()
+        sampled[~mask[:, None, :].repeat(c, 1)] = 0
+        cnt = mask.sum(0).astype(np.float32)
+        denom = np.maximum(cnt, 1.0)
+        mean = sampled.sum(0) / denom  # [C, N]
+        if variance:
+            diff = (sampled - mean[None]) * mask[:, None, :]
+            var = (diff ** 2).sum(0) / denom
+            out[sel] = var.T
+        else:
+            out[sel] = mean.T
+        count[sel] = cnt
+    return out, count
+
+
+def test_back_project_mean_matches_torch(rng):
+    feats, proj, coords, valid, origin, voxel_size = _setup(rng)
+    mean, count = bp.back_project_mean(jnp.asarray(coords), jnp.asarray(valid),
+                                       jnp.asarray(origin), voxel_size,
+                                       jnp.asarray(feats), jnp.asarray(proj))
+    exp, exp_count = _torch_oracle(feats, proj, coords, valid, origin, voxel_size, False)
+    np.testing.assert_allclose(np.asarray(count)[valid], exp_count[valid])
+    np.testing.assert_allclose(np.asarray(mean)[valid], exp[valid], rtol=1e-4, atol=1e-5)
+
+
+def test_back_project_variance_matches_torch(rng):
+    feats, proj, coords, valid, origin, voxel_size = _setup(rng)
+    var, count = bp.back_project_variance(jnp.asarray(coords), jnp.asarray(valid),
+                                          jnp.asarray(origin), voxel_size,
+                                          jnp.asarray(feats), jnp.asarray(proj))
+    exp, exp_count = _torch_oracle(feats, proj, coords, valid, origin, voxel_size, True)
+    np.testing.assert_allclose(np.asarray(count)[valid], exp_count[valid])
+    np.testing.assert_allclose(np.asarray(var)[valid], exp[valid], rtol=1e-3, atol=1e-5)
+    assert (np.asarray(var) >= 0).all()
