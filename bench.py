@@ -1,0 +1,65 @@
+"""End-to-end inference benchmark on real TPU hardware.
+
+Measures keyframes/second through the full EPRecon forward (dual backbones,
+occupancy init, 3-level coarse-to-fine with GRU fusion, panoptic decoder) at
+the reference's production shapes: 9-view fragments, 640x480 images, 96^3
+fragment window at 4 cm voxels.
+
+Prints ONE JSON line:
+  {"metric": "keyframes_per_sec", "value": N, "unit": "kf/s", "vs_baseline": N/33}
+Baseline: 33 keyframes/s (NeuralRecon-class on RTX 2080 Ti; BASELINE.md).
+"""
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eprecon_tpu.config import default_config
+    from eprecon_tpu.data.synthetic import make_fragment
+    from eprecon_tpu.models.eprecon import (EPRecon, FragmentInputs,
+                                            make_recurrent_state)
+    from eprecon_tpu.utils.benchmark import time_fn
+
+    cfg = default_config()
+    n_views = cfg.train.n_views
+
+    d = make_fragment(n_views=n_views, image_hw=(480, 640),
+                      n_vox=cfg.model.n_vox, voxel_size=cfg.model.voxel_size,
+                      seed=0)
+    frag = FragmentInputs(
+        proj_matrices=jnp.asarray(d["proj_matrices"]),
+        vol_origin_partial=jnp.asarray(d["vol_origin_partial"]),
+        world_to_aligned_camera=jnp.asarray(d["world_to_aligned_camera"]),
+        rel_origins=jnp.zeros((cfg.model.n_layer, 3), jnp.int32))
+    state = make_recurrent_state(cfg.model)
+    imgs = jnp.asarray(d["imgs"])
+
+    model = EPRecon(cfg.model)
+    variables = model.init(jax.random.PRNGKey(0), imgs, frag, state, None)
+
+    @jax.jit
+    def fwd(variables, imgs, frag, state):
+        (outputs, _, new_state), _ = model.apply(
+            variables, imgs, frag, state, None, mutable=["batch_stats"])
+        return outputs["tsdf"], outputs["pred_masks"], new_state
+
+    t0 = time.time()
+    out = fwd(variables, imgs, frag, state)
+    jax.block_until_ready(out)
+    print(f"# compile: {time.time() - t0:.0f}s", file=sys.stderr)
+
+    ms = time_fn(lambda v, i, f, s: fwd(v, i, f, s)[0], variables, imgs, frag,
+                 state, iters=20, warmup=3)
+    kfps = n_views / (ms / 1e3)
+    print(json.dumps({"metric": "keyframes_per_sec",
+                      "value": round(kfps, 2), "unit": "kf/s",
+                      "vs_baseline": round(kfps / 33.0, 3)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -73,11 +73,17 @@ class ModelConfig:
     init_stage: int = 1
     min_view_number: int = 2
     occ_init_threshold: float = 0.3
-    # static voxel capacities per level (coarse→fine). On TPU every sparse set
+    # static voxel capacities per stage (coarse→fine). On TPU every sparse set
     # is capacity-padded; these sizes bound the compacted active sets.
-    # Chosen to cover the reference's own caps (TRAIN_NUM_SAMPLE) with headroom
-    # and to be multiples of 128 lanes.
+    # voxel_capacity: occupancy-selected voxels per stage (covers the
+    # reference's TRAIN/TEST_NUM_SAMPLE caps with headroom, 128-lane multiples)
     voxel_capacity: Tuple[int, int, int] = (16384, 65536, 131072)
+    # stage_capacity: voxels processed per stage (x8 upsampled children of the
+    # previous selection, united with the global map inside the window)
+    stage_capacity: Tuple[int, int, int] = (16384, 131072, 524288)
+    # static index-table window (aligned-camera units) per stage for the
+    # sparse U-Net / ConvGRU point grids (>= sqrt(3) * window dim + slack)
+    point_window: Tuple[int, int, int] = (64, 96, 192)
     # global map capacity per level (coarse→fine) for the streaming volume
     global_capacity: Tuple[int, int, int] = (131072, 524288, 2097152)
     # window span for sparse-engine key packing (voxels); must be pow2 ≥ any

@@ -63,18 +63,31 @@ def _devox_links(grid: sp.HashedGrid, points: sp.PointSet, res: float):
     return idx, w
 
 
-def build_plan(points: sp.PointSet, vres: float, num_levels: int = 3) -> SparsePlan:
-    """Construct all index structures for a 3-level U-Net over `points`."""
+DEFAULT_WINDOW = 192  # static L0 index-table span (aligned-camera voxel units)
+
+
+def _level_window(w0: int, level: int) -> tuple:
+    w = (w0 >> level) + 2
+    return (w, w, w)
+
+
+def build_plan(points: sp.PointSet, vres: float, num_levels: int = 3,
+               window: int = DEFAULT_WINDOW) -> SparsePlan:
+    """Construct all index structures for a 3-level U-Net over `points`.
+
+    `window` is the static span of the L0 index table; it must cover the
+    extent of the quantized point cloud (min-corner offset is dynamic).
+    """
     grids: List[sp.HashedGrid] = []
     level_plans: List[LevelPlan] = []
     devox_idx, devox_w = [], []
 
-    grid0, idx_q = sp.voxelize(points, vres)
+    grid0, idx_q = sp.voxelize(points, vres, _level_window(window, 0))
     grids.append(grid0)
     prev = grid0
     down_maps, parents, mods = [None], [None], [None]
     for l in range(1, num_levels):
-        coarse, parent = sp.downsample_coords(prev.voxels)
+        coarse, parent = sp.downsample_coords(prev.voxels, _level_window(window, l))
         # stride-2 conv inputs: for coarse coord p, fine rows at 2p + r
         q = coarse.voxels.coords
         fine_base = jnp.concatenate([q[:, :1], q[:, 1:] * 2], axis=1)
@@ -309,8 +322,9 @@ class SConv3dPlan(NamedTuple):
     valid_points: jnp.ndarray
 
 
-def build_sconv_plan(points: sp.PointSet, vres: float) -> SConv3dPlan:
-    grid, idx_q = sp.voxelize(points, vres)
+def build_sconv_plan(points: sp.PointSet, vres: float,
+                     window: int = DEFAULT_WINDOW) -> SConv3dPlan:
+    grid, idx_q = sp.voxelize(points, vres, (window, window, window))
     nmap = sp.neighbor_map(grid, grid.voxels.coords, grid.voxels.valid, OFFSETS27)
     di, dw = _devox_links(grid, points, vres)
     return SConv3dPlan(grid, nmap, idx_q, di, dw, points.valid)

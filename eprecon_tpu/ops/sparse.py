@@ -6,11 +6,16 @@ spconv submanifold convs: models/modules.py:249-271). Everything here is
 jit-safe with capacity-padded static shapes:
 
   * a voxel set is `SparseVoxels(coords int32[K,4], feats f32[K,C], valid bool[K])`
-  * coordinate lookup = int32 key packing + sort + binary search
-    (no dynamic hash tables; XLA-friendly)
+  * coordinate lookup is O(1): row indices are scattered into a dense int32
+    *index volume* over a static window (dynamic min-corner offset); a query
+    is a single gather. (jnp.searchsorted lowers to a serial binary-search
+    while-loop on TPU — ~450 ms for 131k x 27 queries — so sort-based
+    lookup is a non-starter; windows are small: fragment grids <= 96^3,
+    aligned-camera point grids <= 192^3 = 28 MB of int32.)
   * sparse 3D conv = per-offset neighbor gather → matmul → accumulate
     (27 small GEMMs that XLA tiles onto the MXU)
-  * point↔voxel (de)voxelization = the same key machinery + trilinear weights
+  * point↔voxel (de)voxelization = sort-based unique + table lookups +
+    trilinear weights
 
 Filtering never changes shapes: it flips `valid` flags; `compact` re-packs a
 mask into the leading slots when a fresh capacity is needed.
@@ -24,13 +29,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Coordinates are packed into a positive int32 key:
-#   key = ((b * W + x') * W + y') * W + z'   with x' = x + W/2 in [0, W)
-# W = 512 → 27 bits for xyz + 3 bits batch = 30 bits < 31. Invalid = INT32_MAX.
-KEY_WINDOW = 512
-KEY_OFFSET = KEY_WINDOW // 2
-INVALID_KEY = np.int32(2**31 - 1)
-MAX_BATCH = 7
 
 
 class SparseVoxels(NamedTuple):
@@ -51,49 +49,69 @@ class SparseVoxels(NamedTuple):
 
 
 class HashedGrid(NamedTuple):
-    """A SparseVoxels whose rows are sorted by packed key (lookup-ready)."""
+    """SparseVoxels + dense O(1)-lookup index volume.
+
+    table: int32 [B, Wx, Wy, Wz] holding the row index of the voxel at
+    (b, offset + (x,y,z)), or -1. The window shape is static (table shape);
+    the min-corner `offset` is dynamic.
+    """
     voxels: SparseVoxels
-    keys: jnp.ndarray  # int32 [K], ascending, INVALID_KEY for padding
+    table: jnp.ndarray
+    offset: jnp.ndarray  # int32 [3]
 
 
-def pack_keys(coords: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """coords int32 [K,4] (b,x,y,z) → int32 keys; invalid/out-of-window → INVALID_KEY."""
-    b, x, y, z = coords[:, 0], coords[:, 1], coords[:, 2], coords[:, 3]
-    xo, yo, zo = x + KEY_OFFSET, y + KEY_OFFSET, z + KEY_OFFSET
-    in_win = ((xo >= 0) & (xo < KEY_WINDOW) & (yo >= 0) & (yo < KEY_WINDOW)
-              & (zo >= 0) & (zo < KEY_WINDOW) & (b >= 0) & (b <= MAX_BATCH))
-    key = ((b * KEY_WINDOW + xo) * KEY_WINDOW + yo) * KEY_WINDOW + zo
-    return jnp.where(valid & in_win, key, INVALID_KEY)
+def build_hash(sv: SparseVoxels, window: Tuple[int, int, int],
+               offset: Optional[jnp.ndarray] = None,
+               n_batch: int = 1) -> HashedGrid:
+    """Build the dense index table for a voxel set.
 
-
-def build_hash(sv: SparseVoxels) -> HashedGrid:
-    """Sort rows by key so that lookups can binary-search."""
-    keys = pack_keys(sv.coords, sv.valid)
-    order = jnp.argsort(keys)
-    keys = keys[order]
-    sv = SparseVoxels(sv.coords[order], sv.feats[order], sv.valid[order] & (keys != INVALID_KEY))
-    return HashedGrid(sv, keys)
+    window: static (Wx, Wy, Wz); offset: [3] min corner (default: per-axis
+    min over valid coords). Rows outside the window are simply not indexed
+    (lookups for them miss) — choose the window to cover the live set.
+    """
+    if offset is None:
+        big = jnp.int32(2**30)
+        offset = jnp.min(jnp.where(sv.valid[:, None], sv.coords[:, 1:], big),
+                         axis=0)
+        offset = jnp.where(offset == big, 0, offset)
+    w = sv.coords[:, 1:] - offset[None, :]
+    wdim = jnp.asarray(window, jnp.int32)
+    inb = sv.valid & ((w >= 0) & (w < wdim[None, :])).all(axis=1)
+    b = jnp.clip(sv.coords[:, 0], 0, n_batch - 1)
+    lin = ((b * window[0] + w[:, 0]) * window[1] + w[:, 1]) * window[2] + w[:, 2]
+    size = n_batch * window[0] * window[1] * window[2]
+    lin = jnp.where(inb, lin, size)
+    rows = jnp.arange(sv.capacity, dtype=jnp.int32)
+    table = jnp.full(size + 1, -1, jnp.int32)
+    table = table.at[lin].set(jnp.where(inb, rows, -1))
+    table = table[:-1].reshape(n_batch, *window)
+    return HashedGrid(sv, table, offset)
 
 
 def lookup(grid: HashedGrid, query_coords: jnp.ndarray,
            query_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Find row index of each query coord in the grid; -1 if absent.
+    """Row index of each query coord in the grid; -1 if absent.
 
-    query_coords: int32 [..., 4]. Returns int32 [...] indices into grid rows.
+    query_coords: int32 [..., 4]. O(1) per query (one gather).
     Equivalent of torchsparse sphashquery (ops/torchsparse_utils.py:21).
     """
+    nb, wx, wy, wz = grid.table.shape
     flat = query_coords.reshape(-1, 4)
-    if query_valid is None:
-        qvalid = jnp.ones(flat.shape[0], bool)
-    else:
-        qvalid = jnp.broadcast_to(
+    w = flat[:, 1:] - grid.offset[None, :]
+    b = flat[:, 0]
+    inb = ((w[:, 0] >= 0) & (w[:, 0] < wx) & (w[:, 1] >= 0) & (w[:, 1] < wy)
+           & (w[:, 2] >= 0) & (w[:, 2] < wz) & (b >= 0) & (b < nb))
+    if query_valid is not None:
+        qv = jnp.broadcast_to(
             query_valid.reshape(query_valid.shape + (1,) * (query_coords.ndim - 1 - query_valid.ndim)),
             query_coords.shape[:-1]).reshape(-1)
-    qkeys = pack_keys(flat, qvalid)
-    pos = jnp.searchsorted(grid.keys, qkeys)
-    pos = jnp.clip(pos, 0, grid.keys.shape[0] - 1)
-    hit = (grid.keys[pos] == qkeys) & (qkeys != INVALID_KEY)
-    idx = jnp.where(hit, pos, -1).astype(jnp.int32)
+        inb = inb & qv
+    bi = jnp.clip(b, 0, nb - 1)
+    wxi = jnp.clip(w[:, 0], 0, wx - 1)
+    wyi = jnp.clip(w[:, 1], 0, wy - 1)
+    wzi = jnp.clip(w[:, 2], 0, wz - 1)
+    rows = grid.table[bi, wxi, wyi, wzi]
+    idx = jnp.where(inb, rows, -1)
     return idx.reshape(query_coords.shape[:-1])
 
 
@@ -129,24 +147,33 @@ def neighbor_map(grid: HashedGrid, query_coords: jnp.ndarray,
     nb = query_coords[:, None, 1:] + off[None, :, :]  # [K, O, 3]
     b = jnp.broadcast_to(query_coords[:, None, :1], (*nb.shape[:2], 1))
     nb_coords = jnp.concatenate([b, nb], axis=-1)  # [K, O, 4]
-    qvalid = jnp.broadcast_to(query_valid[:, None], nb.shape[:2])
-    return lookup(grid, nb_coords, qvalid)
+    return lookup(grid, nb_coords, query_valid)
 
 
 def sparse_conv_apply(feats: jnp.ndarray, nmap: jnp.ndarray,
                       weights: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
-                      out_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                      out_valid: Optional[jnp.ndarray] = None,
+                      group: int = 9) -> jnp.ndarray:
     """Gather-GEMM-accumulate sparse convolution.
 
     feats: [K, Cin] source features; nmap: int32 [K_out, O] neighbor rows;
     weights: [O, Cin, Cout]. Returns [K_out, Cout].
-    Unrolled over the O kernel offsets so XLA pipelines O MXU matmuls.
+    Kernel offsets are processed in groups: one gather [K, G, Cin] + one
+    [K, G*Cin] x [G*Cin, Cout] MXU matmul per group. Grouping keeps the HLO
+    count low (compile time) and the matmuls large, while bounding the
+    gathered transient to K * G * Cin.
     """
     n_off = nmap.shape[1]
+    cin = feats.shape[-1]
+    cout = weights.shape[-1]
+    k = nmap.shape[0]
     out = None
-    for o in range(n_off):
-        g = gather_rows(feats, nmap[:, o])  # [K_out, Cin]
-        term = jnp.dot(g, weights[o], preferred_element_type=jnp.float32)
+    for o0 in range(0, n_off, group):
+        o1 = min(o0 + group, n_off)
+        g = gather_rows(feats, nmap[:, o0:o1])          # [K, G, Cin]
+        w = weights[o0:o1].reshape((o1 - o0) * cin, cout)
+        term = jnp.dot(g.reshape(k, (o1 - o0) * cin), w,
+                       preferred_element_type=jnp.float32)
         out = term if out is None else out + term
     if bias is not None:
         out = out + bias
@@ -167,7 +194,29 @@ class PointSet(NamedTuple):
     valid: jnp.ndarray  # bool [K]
 
 
-def voxelize(points: PointSet, res: float) -> Tuple[HashedGrid, jnp.ndarray]:
+def _unique_coords(coords: jnp.ndarray, valid: jnp.ndarray, window,
+                   n_batch: int = 1):
+    """Deduplicate [K, 4] coords into leading slots using the index table.
+
+    Each distinct coord gets exactly one representative row (the one the
+    scatter kept); slots are compacted in representative-row order.
+    Returns (unique SparseVoxels (zero-channel feats), rep_row_of_slot [K],
+    slot_of_row [K] mapping every input row to its unique slot, -1 invalid).
+    """
+    k = coords.shape[0]
+    tmp = build_hash(SparseVoxels(coords, jnp.zeros((k, 0)), valid),
+                     window, n_batch=n_batch)
+    rep = lookup(tmp, coords, valid)          # [K] representative row per row
+    is_rep = valid & (rep == jnp.arange(k, dtype=jnp.int32))
+    usv, (rep_rows,), _ = compact(is_rep, coords, k,
+                                  jnp.arange(k, dtype=jnp.int32)[:, None])
+    ugrid = build_hash(usv, window, offset=tmp.offset, n_batch=n_batch)
+    slot_of_row = lookup(ugrid, coords, valid)
+    return ugrid, rep_rows[:, 0], slot_of_row
+
+
+def voxelize(points: PointSet, res: float, window: Tuple[int, int, int],
+             n_batch: int = 1) -> Tuple[HashedGrid, jnp.ndarray]:
     """Quantize points at resolution `res`, average features per voxel.
 
     Equivalent of initial_voxelize (ops/torchsparse_utils.py:15-35).
@@ -177,37 +226,19 @@ def voxelize(points: PointSet, res: float) -> Tuple[HashedGrid, jnp.ndarray]:
     k = points.xyz.shape[0]
     vox = jnp.floor(points.xyz / res).astype(jnp.int32)  # [K, 3]
     coords = jnp.concatenate([points.batch[:, None], vox], axis=1)  # [K, 4]
-    keys = pack_keys(coords, points.valid)
-    order = jnp.argsort(keys)
-    skeys = keys[order]
-    svalid = skeys != INVALID_KEY
-    head = jnp.concatenate([svalid[:1],
-                            svalid[1:] & (skeys[1:] != skeys[:-1])])
-    seg = jnp.cumsum(head.astype(jnp.int32)) - 1  # voxel slot per sorted point
-    seg = jnp.where(svalid, seg, k - 1)  # dump invalid into last slot
+    ugrid, _, idx_query = _unique_coords(coords, points.valid, window, n_batch)
 
-    sfeats = points.feats[order]
-    sum_feats = jax.ops.segment_sum(
-        jnp.where(svalid[:, None], sfeats, 0.0), seg, num_segments=k)
-    counts = jax.ops.segment_sum(svalid.astype(jnp.float32), seg, num_segments=k)
-    mean_feats = sum_feats / jnp.maximum(counts[:, None], 1.0)
-
-    # voxel coords: first sorted point of each segment
-    scoords = coords[order]
-    vox_coords = jax.ops.segment_max(
-        jnp.where(svalid[:, None], scoords, jnp.iinfo(jnp.int32).min),
-        seg, num_segments=k)
-    n_vox = jnp.sum(head.astype(jnp.int32))
-    slot_valid = jnp.arange(k) < n_vox
-
-    vox_coords = jnp.where(slot_valid[:, None], vox_coords, 0)
-    voxels = SparseVoxels(vox_coords.astype(jnp.int32),
-                          jnp.where(slot_valid[:, None], mean_feats, 0.0),
-                          slot_valid)
-    grid = build_hash(voxels)  # segment slots are already key-ordered, but re-hash for safety
-
-    # per-point voxel row in the *hashed* grid
-    idx_query = lookup(grid, coords, points.valid)
+    sums = jax.ops.segment_sum(
+        jnp.where(points.valid[:, None], points.feats, 0.0),
+        jnp.where(idx_query >= 0, idx_query, k), num_segments=k + 1)[:k]
+    cnts = jax.ops.segment_sum(
+        (points.valid & (idx_query >= 0)).astype(jnp.float32),
+        jnp.where(idx_query >= 0, idx_query, k), num_segments=k + 1)[:k]
+    mean = sums / jnp.maximum(cnts[:, None], 1.0)
+    uv = ugrid.voxels
+    mean = jnp.where(uv.valid[:, None], mean, 0.0)
+    grid = HashedGrid(SparseVoxels(uv.coords, mean, uv.valid),
+                      ugrid.table, ugrid.offset)
     return grid, idx_query
 
 
@@ -254,33 +285,17 @@ def devoxelize_trilinear(grid: HashedGrid, points: PointSet, res: float) -> jnp.
 # Downsample / upsample coordinate transforms (strided sparse conv support)
 # ---------------------------------------------------------------------------
 
-def downsample_coords(sv: SparseVoxels) -> Tuple[HashedGrid, jnp.ndarray]:
+def downsample_coords(sv: SparseVoxels, window: Tuple[int, int, int],
+                      n_batch: int = 1) -> Tuple[HashedGrid, jnp.ndarray]:
     """Output coordinate set of a stride-2 sparse conv: unique(floor(c/2)).
 
+    window: static window of the COARSE grid.
     Returns (coarse grid with zero feats, child→parent row map int32 [K]).
     """
-    k = sv.capacity
     coarse = jnp.concatenate(
         [sv.coords[:, :1], jnp.floor_divide(sv.coords[:, 1:], 2)], axis=1)
-    keys = pack_keys(coarse, sv.valid)
-    order = jnp.argsort(keys)
-    skeys = keys[order]
-    svalid = skeys != INVALID_KEY
-    head = jnp.concatenate([svalid[:1], svalid[1:] & (skeys[1:] != skeys[:-1])])
-    n_vox = jnp.sum(head.astype(jnp.int32))
-    slot_valid = jnp.arange(k) < n_vox
-    scoords = coarse[order]
-    seg = jnp.cumsum(head.astype(jnp.int32)) - 1
-    seg = jnp.where(svalid, seg, k - 1)
-    vox_coords = jax.ops.segment_max(
-        jnp.where(svalid[:, None], scoords, jnp.iinfo(jnp.int32).min),
-        seg, num_segments=k)
-    vox_coords = jnp.where(slot_valid[:, None], vox_coords, 0)
-    voxels = SparseVoxels(vox_coords.astype(jnp.int32),
-                          jnp.zeros((k, 0), sv.feats.dtype), slot_valid)
-    grid = build_hash(voxels)
-    parent = lookup(grid, coarse, sv.valid)
-    return grid, parent
+    ugrid, _, parent = _unique_coords(coarse, sv.valid, window, n_batch)
+    return ugrid, parent
 
 
 def compact(mask: jnp.ndarray, coords: jnp.ndarray, capacity: int,
@@ -294,8 +309,16 @@ def compact(mask: jnp.ndarray, coords: jnp.ndarray, capacity: int,
     n = mask.shape[0]
     key = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
     # top_k over negated keys → smallest keys first (original order)
-    _, order = jax.lax.top_k(-key, capacity)
-    sel_valid = key[order] < n
+    k_eff = min(capacity, n)
+    _, order = jax.lax.top_k(-key, k_eff)
+    if k_eff < capacity:  # capacity exceeds the candidate count: pad
+        order = jnp.concatenate(
+            [order, jnp.zeros(capacity - k_eff, order.dtype)])
+        pad_mask = jnp.arange(capacity) < k_eff
+        key_sel = jnp.where(pad_mask, key[order], jnp.int32(n))
+        sel_valid = key_sel < n
+    else:
+        sel_valid = key[order] < n
     out_coords = jnp.where(sel_valid[:, None], coords[order], 0)
     packed = tuple(
         jnp.where(sel_valid.reshape(sel_valid.shape + (1,) * (a.ndim - 1)),
@@ -338,9 +361,10 @@ def dense_to_sparse(dense: jnp.ndarray, mask: jnp.ndarray, capacity: int,
     from eprecon_tpu.ops.grid import dense_coords
 
     shape = dense.shape[:3]
+    n = shape[0] * shape[1] * shape[2]
     coords3 = dense_coords(shape).reshape(-1, 3)
     b = jnp.full((coords3.shape[0], 1), batch_index, jnp.int32)
     coords = jnp.concatenate([b, coords3], axis=1)
     sv, (feats,), overflow = compact(mask.reshape(-1), coords, capacity,
-                                     dense.reshape(-1, dense.shape[-1]))
+                                     dense.reshape(n, dense.shape[-1]))
     return SparseVoxels(sv.coords, feats, sv.valid), overflow

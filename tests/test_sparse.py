@@ -22,7 +22,7 @@ def make_voxels(rng, n_active, capacity, span=20, channels=8, batch=0):
 
 def test_build_hash_and_lookup(rng):
     sv, coords, feats = make_voxels(rng, 100, 128)
-    grid = sp.build_hash(sv)
+    grid = sp.build_hash(sv, (64, 64, 64))
     idx = sp.lookup(grid, jnp.asarray(coords))
     assert (np.asarray(idx) >= 0).all()
     got = np.asarray(grid.voxels.feats)[np.asarray(idx)]
@@ -38,7 +38,7 @@ def test_subm_conv_matches_dense(rng):
     """Submanifold sparse conv == dense conv with zeros at inactive sites."""
     span, cin, cout = 10, 4, 6
     sv, coords, feats = make_voxels(rng, 60, 64, span=span, channels=cin)
-    grid = sp.build_hash(sv)
+    grid = sp.build_hash(sv, (span, span, span))
     offsets = sp.kernel_offsets(3)
     nmap = sp.neighbor_map(grid, grid.voxels.coords, grid.voxels.valid, offsets)
     w = rng.standard_normal((27, cin, cout)).astype(np.float32)
@@ -69,7 +69,7 @@ def test_voxelize_mean_pooling(rng):
         jnp.asarray(np.concatenate([feats, np.zeros((cap - n, c), np.float32)])),
         jnp.asarray(np.arange(cap) < n),
     )
-    grid, idx_query = sp.voxelize(pts, res=1.0)
+    grid, idx_query = sp.voxelize(pts, res=1.0, window=(8, 8, 8))
     vox = np.floor(xyz).astype(np.int32)
     # oracle: group by voxel
     keys = [tuple(v) for v in vox]
@@ -100,7 +100,7 @@ def test_devoxelize_trilinear(rng):
     feats = np.stack([coords[:, 0], coords[:, 1] + 2.0 * coords[:, 2]], axis=1).astype(np.float32)
     coords4 = np.concatenate([np.zeros((n, 1), np.int32), coords.astype(np.int32)], axis=1)
     sv = sp.SparseVoxels(jnp.asarray(coords4), jnp.asarray(feats), jnp.ones(n, bool))
-    grid = sp.build_hash(sv)
+    grid = sp.build_hash(sv, (span, span, span))
 
     m = 40
     xyz = rng.uniform(1.0, span - 2.0, size=(m, 3)).astype(np.float32)
@@ -144,14 +144,14 @@ def test_sparse_to_dense_roundtrip(rng):
     mask = (np.abs(np.asarray(dense)).sum(-1) > 0)
     sv2, overflow = sp.dense_to_sparse(dense, jnp.asarray(mask), 64)
     assert int(overflow) == 0
-    grid2 = sp.build_hash(sv2)
+    grid2 = sp.build_hash(sv2, (6, 6, 6))
     idx = sp.lookup(grid2, sv.coords, sv.valid)
     assert (np.asarray(idx)[np.asarray(sv.valid)] >= 0).all()
 
 
 def test_downsample_coords(rng):
     sv, coords, _ = make_voxels(rng, 40, 64, span=16, channels=2)
-    grid, parent = sp.downsample_coords(sv)
+    grid, parent = sp.downsample_coords(sv, (10, 10, 10))
     expect = {tuple(c // np.array([1, 2, 2, 2])) for c in coords}
     assert int(grid.voxels.num_valid()) == len(expect)
     gc = np.asarray(grid.voxels.coords)[np.asarray(grid.voxels.valid)]
@@ -168,7 +168,7 @@ def test_jit_compiles():
     @jax.jit
     def f(coords, feats, valid):
         sv = sp.SparseVoxels(coords, feats, valid)
-        grid = sp.build_hash(sv)
+        grid = sp.build_hash(sv, (16, 16, 16))
         nmap = sp.neighbor_map(grid, grid.voxels.coords, grid.voxels.valid,
                                sp.kernel_offsets(3))
         w = jnp.ones((27, feats.shape[1], 4))
