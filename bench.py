@@ -15,7 +15,15 @@ import time
 
 
 def main():
+    import os
+
     import jax
+
+    cache = os.path.expanduser(f"~/.cache/jax_compilation_{jax.default_backend()}")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -40,9 +48,12 @@ def main():
     imgs = jnp.asarray(d["imgs"])
 
     model = EPRecon(cfg.model)
-    variables = model.init(jax.random.PRNGKey(0), imgs, frag, state, None)
+    variables = jax.jit(model.init, static_argnames=())(
+        jax.random.PRNGKey(0), imgs, frag, state, None)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(3,))
     def fwd(variables, imgs, frag, state):
         (outputs, _, new_state), _ = model.apply(
             variables, imgs, frag, state, None, mutable=["batch_stats"])

@@ -73,6 +73,10 @@ class ModelConfig:
     init_stage: int = 1
     min_view_number: int = 2
     occ_init_threshold: float = 0.3
+    # fragment rejected if fewer valid init voxels (reference :107: 10^3)
+    min_init_voxels: int = 1000
+    # fragment rejected if fewer occupied voxels at any stage (reference :469)
+    min_stage_voxels: int = 500
     # static voxel capacities per stage (coarse→fine). On TPU every sparse set
     # is capacity-padded; these sizes bound the compacted active sets.
     # voxel_capacity: occupancy-selected voxels per stage (covers the
@@ -84,8 +88,14 @@ class ModelConfig:
     # static index-table window (aligned-camera units) per stage for the
     # sparse U-Net / ConvGRU point grids (>= sqrt(3) * window dim + slack)
     point_window: Tuple[int, int, int] = (64, 96, 192)
-    # global map capacity per level (coarse→fine) for the streaming volume
+    # global map capacity per level (coarse→fine) for sparse-engine exports
     global_capacity: Tuple[int, int, int] = (131072, 524288, 2097152)
+    # dense global scene volume extent in FINEST-level voxels (per-level
+    # extents are this / 2^scale); window slices are dynamic_slice'd from it.
+    # (256, 256, 128) @ 4 cm = 10.2 x 10.2 x 5.1 m — covers ScanNet rooms.
+    global_extent: Tuple[int, int, int] = (256, 256, 128)
+    # storage dtype of the global feature volumes ('bfloat16' halves HBM)
+    global_dtype: str = "bfloat16"
     # window span for sparse-engine key packing (voxels); must be pow2 ≥ any
     # aligned-camera index range within a fragment.
     key_window: int = 512

@@ -1,0 +1,135 @@
+"""ScanNet fragment dataset.
+
+Reference: datasets/scannet.py:9-172 (ScanNetDataset) — reads
+`fragments_{split}.pkl` metas produced by the GT generator, loads per-view
+jpg/depth-png + intrinsics/poses, and the full-scene GT volumes with a small
+cache. File layout is identical to the reference's so an existing prepared
+ScanNet tree works unchanged:
+
+  <datapath>/fragments_{train,val,test}.pkl
+  <datapath>/<scene>/color/<id>.jpg, depth/<id>.png,
+             intrinsic/intrinsic_color.txt, pose/<id>.txt
+  <tsdf_dir>/<scene>/full_tsdf_layer{l}.npz (+ semantic/instance layers)
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional
+
+import numpy as np
+
+DATASET_REGISTRY = {}
+
+
+def register_dataset(name):
+    def deco(cls):
+        DATASET_REGISTRY[name] = cls
+        return cls
+    return deco
+
+
+def find_dataset_def(name: str):
+    """reference datasets/__init__.py:5-9 equivalent."""
+    return DATASET_REGISTRY[name]
+
+
+@register_dataset("scannet")
+class ScanNetDataset:
+    def __init__(self, datapath: str, mode: str, transforms, nviews: int,
+                 n_scales: int = 2, tsdf_dir: str = "all_tsdf_9",
+                 max_cache: int = 50, epoch: int = 0,
+                 load_labels: bool = True):
+        self.datapath = datapath
+        self.mode = mode
+        self.transforms = transforms
+        self.nviews = nviews
+        self.n_scales = n_scales
+        self.tsdf_dir = tsdf_dir
+        self.max_cache = max_cache
+        self.epoch = epoch
+        self.load_labels = load_labels
+        self.cache: Dict[str, dict] = {}
+        self.metas = self._load_metas()
+        self.source_path = os.path.join(datapath, "scans_test" if mode == "test"
+                                        else "scans")
+
+    def _load_metas(self) -> List[dict]:
+        split = {"train": "train", "val": "val", "test": "test"}[self.mode]
+        with open(os.path.join(self.datapath, self.tsdf_dir,
+                               f"fragments_{split}.pkl"), "rb") as f:
+            metas = pickle.load(f)
+        return metas
+
+    def __len__(self):
+        return len(self.metas)
+
+    def _read_img(self, path):
+        import cv2
+
+        img = cv2.imread(path)  # BGR, matching the reference's pixel means
+        return img.astype(np.float32)
+
+    def _read_depth(self, path):
+        import cv2
+
+        d = cv2.imread(path, cv2.IMREAD_UNCHANGED).astype(np.float32) / 1000.0
+        d[d > 3.0] = 0.0  # reference datasets/scannet.py depth clamp
+        return d
+
+    def _read_cam(self, scene, vid):
+        intr = np.loadtxt(os.path.join(self.source_path, scene, "intrinsic",
+                                       "intrinsic_color.txt"))[:3, :3]
+        pose = np.loadtxt(os.path.join(self.source_path, scene, "pose",
+                                       f"{vid}.txt"))
+        return intr.astype(np.float32), pose.astype(np.float32)
+
+    def _read_scene_volumes(self, scene) -> dict:
+        """Full-scene GT volumes with LRU-ish cache
+        (reference datasets/scannet.py:65-94)."""
+        if scene in self.cache:
+            return self.cache[scene]
+        root = os.path.join(self.datapath, self.tsdf_dir, scene)
+        full = {"tsdf_list_full": []}
+        for l in range(self.n_scales + 1):
+            full["tsdf_list_full"].append(
+                np.load(os.path.join(root, f"full_tsdf_layer{l}.npz"),
+                        allow_pickle=True)["arr_0"])
+        if self.load_labels:
+            for key, stem in (("semantic_list_full", "full_semantic_layer"),
+                              ("instance_list_full", "full_instance_layer")):
+                path0 = os.path.join(root, f"{stem}_interpolate0.npz")
+                if not os.path.exists(path0):
+                    path0 = os.path.join(root, f"{stem}0.npz")
+                if os.path.exists(path0):
+                    full[key] = [np.load(path0, allow_pickle=True)["arr_0"]]
+        if len(self.cache) >= self.max_cache:
+            self.cache.pop(next(iter(self.cache)))
+        self.cache[scene] = full
+        return full
+
+    def __getitem__(self, idx: int) -> dict:
+        meta = self.metas[idx]
+        scene = meta["scene"]
+        imgs, depths, intrinsics, poses = [], [], [], []
+        for vid in meta["image_ids"]:
+            imgs.append(self._read_img(
+                os.path.join(self.source_path, scene, "color", f"{vid}.jpg")))
+            depths.append(self._read_depth(
+                os.path.join(self.source_path, scene, "depth", f"{vid}.png")))
+            intr, pose = self._read_cam(scene, vid)
+            intrinsics.append(intr)
+            poses.append(pose)
+
+        vols = self._read_scene_volumes(scene)
+        data = dict(
+            imgs=imgs, depth=depths, intrinsics=intrinsics, extrinsics=poses,
+            scene=scene, fragment=f"{scene}_{meta['fragment_id']}",
+            vol_origin=np.asarray(meta["vol_origin"], np.float32),
+            epoch=self.epoch,
+            **{k: [v.copy() for v in vs] if isinstance(vs, list) else vs
+               for k, vs in vols.items()},
+        )
+        if self.transforms is not None:
+            data = self.transforms(data)
+        return data

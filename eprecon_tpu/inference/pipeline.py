@@ -22,8 +22,9 @@ import numpy as np
 from eprecon_tpu.config import Config
 from eprecon_tpu.models.eprecon import (EPRecon, FragmentInputs,
                                         RecurrentState, make_recurrent_state)
-from eprecon_tpu.models.gru_fusion import PanopticGlobalMap, fuse_tsdf_direct
+from eprecon_tpu.models.gru_fusion import PanopticGlobalDense, fuse_tsdf_direct
 from eprecon_tpu.models.panoptic.post import panoptic_inference
+from eprecon_tpu.ops import sparse as sp
 
 
 @dataclasses.dataclass
@@ -40,32 +41,35 @@ class SceneResult:
 class StreamingReconstructor:
     """Incremental panoptic reconstruction over a fragment stream."""
 
-    def __init__(self, cfg: Config, variables, global_capacity: Optional[int] = None):
+    def __init__(self, cfg: Config, variables):
         self.cfg = cfg
         self.model = EPRecon(cfg.model)
         self.variables = variables
-        self.gcap = global_capacity or cfg.model.global_capacity[-1]
         self.scene_name: Optional[str] = None
         self.global_origin: Optional[np.ndarray] = None
         self._reset_state()
-        self._fwd = jax.jit(self._forward)
+        # donate the recurrent/global state so volume updates are in-place
+        self._fwd = jax.jit(self._forward, donate_argnums=(3, 4))
 
     def _reset_state(self):
         self.rec_state = make_recurrent_state(self.cfg.model)
-        self.pmap_state = PanopticGlobalMap.empty(self.gcap)
+        self.pmap_state = PanopticGlobalDense.empty(
+            tuple(self.cfg.model.global_extent))
 
     def _forward(self, variables, imgs, frag, rec_state, pmap_state):
         (outputs, _, new_rec), _ = self.model.apply(
             variables, imgs, frag, rec_state, None, mutable=["batch_stats"])
         seg = panoptic_inference(outputs["pred_logits"], outputs["pred_masks"],
                                  outputs["panoptic_valid"])
-        # gate panoptic ids to the final occupied voxel set (coords match)
-        new_pmap, overflow = fuse_tsdf_direct(
-            pmap_state, outputs["coords"], outputs["tsdf"], outputs["valid"],
-            seg.voxel_seg, seg.seg_class, seg.seg_isthing, seg.seg_valid,
-            frag.rel_origins[-1], tuple(self.cfg.model.n_vox),
-            outputs["coords"].shape[0])
-        return outputs, new_rec, new_pmap, overflow
+        # scatter per-voxel segment ids back into the fragment window
+        seg_window = sp.sparse_to_dense(
+            outputs["coords"][:, 1:], seg.voxel_seg[:, None].astype(jnp.float32),
+            outputs["valid"], tuple(self.cfg.model.n_vox))[..., 0].astype(jnp.int32)
+        new_pmap = fuse_tsdf_direct(
+            pmap_state, outputs["tsdf_window"], outputs["occupancy"],
+            seg_window, seg.seg_class, seg.seg_isthing, seg.seg_valid,
+            frag.rel_origins[-1])
+        return outputs, new_rec, new_pmap
 
     def process_fragment(self, scene: str, imgs: np.ndarray,
                          proj_matrices: np.ndarray, vol_origin: np.ndarray,
@@ -79,7 +83,11 @@ class StreamingReconstructor:
             if self.scene_name is not None:
                 finished = self.flush()
             self.scene_name = scene
-            self.global_origin = np.asarray(vol_origin, np.float32)
+            # margin below the scene origin so early fragments snapped a bit
+            # outside the frustum bounds still index non-negatively (must be
+            # a multiple of the coarsest interval)
+            margin = 32 * self.cfg.model.voxel_size
+            self.global_origin = (np.asarray(vol_origin, np.float32) - margin)
             self._reset_state()
 
         rel = []
@@ -91,31 +99,24 @@ class StreamingReconstructor:
         frag = FragmentInputs(
             jnp.asarray(proj_matrices), jnp.asarray(vol_origin_partial),
             jnp.asarray(world_to_aligned_camera), jnp.asarray(np.stack(rel)))
-        outputs, self.rec_state, self.pmap_state, overflow = self._fwd(
+        outputs, self.rec_state, self.pmap_state = self._fwd(
             self.variables, jnp.asarray(imgs), frag, self.rec_state,
             self.pmap_state)
         return finished
 
     def flush(self) -> Optional[SceneResult]:
-        """Densify + return the current scene (reference save_mesh)."""
+        """Crop + return the current scene (reference save_mesh)."""
         pm = self.pmap_state
-        valid = np.asarray(pm.valid)
-        if not valid.any():
+        mask = np.asarray(pm.mask)
+        if not mask.any():
             return None
-        coords = np.asarray(pm.coords)[valid]
-        tsdf = np.asarray(pm.tsdf)[valid]
-        inst = np.asarray(pm.instance)[valid]
-        sem = np.asarray(pm.semantic)[valid]
-        lo = coords.min(0)
-        hi = coords.max(0)
-        dim = hi - lo + 1
-        vol_t = np.ones(dim, np.float32)
-        vol_i = np.zeros(dim, np.int32)
-        vol_s = np.zeros(dim, np.int32)
-        idx = tuple((coords - lo).T)
-        vol_t[idx] = tsdf
-        vol_i[idx] = inst
-        vol_s[idx] = sem
+        occ = np.argwhere(mask)
+        lo = occ.min(0)
+        hi = occ.max(0) + 1
+        sl = tuple(slice(l, h) for l, h in zip(lo, hi))
+        vol_t = np.where(mask[sl], np.asarray(pm.tsdf)[sl], 1.0).astype(np.float32)
+        vol_i = np.asarray(pm.instance)[sl]
+        vol_s = np.asarray(pm.semantic)[sl]
         origin = self.global_origin + lo * self.cfg.model.voxel_size
         return SceneResult(self.scene_name, origin, self.cfg.model.voxel_size,
                            vol_t, vol_i, vol_s)

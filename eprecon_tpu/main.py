@@ -1,0 +1,130 @@
+"""Training / evaluation CLI (reference main.py:25-449 equivalent).
+
+  python -m eprecon_tpu.main --cfg config/train.yaml [KEY VALUE ...]
+  python -m eprecon_tpu.main --cfg config/test.yaml  [KEY VALUE ...]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_dataset(cfg, mode: str, epoch: int = 0):
+    from eprecon_tpu.data.scannet import find_dataset_def
+    from eprecon_tpu.data.transforms import (Compose, IntrinsicsPoseToProjection,
+                                             RandomTransformSpace, ResizeImage)
+
+    n_views = cfg.train.n_views if mode == "train" else cfg.test.n_views
+    transforms = Compose([
+        ResizeImage((640, 480)),
+        RandomTransformSpace(
+            cfg.model.n_vox, cfg.model.voxel_size,
+            random_rotation=cfg.train.random_rotation_3d and mode == "train",
+            random_translation=cfg.train.random_translation_3d and mode == "train",
+            paddingXY=cfg.train.pad_xy_3d, paddingZ=cfg.train.pad_z_3d),
+        IntrinsicsPoseToProjection(n_views, stride=4),
+    ])
+    ds_cls = find_dataset_def(cfg.dataset)
+    path = cfg.train.path if mode == "train" else cfg.test.path
+    return ds_cls(path, mode, transforms, n_views, cfg.model.n_scales,
+                  epoch=epoch)
+
+
+def run_train(cfg):
+    import jax
+
+    from eprecon_tpu.data.sampler import ContiguousDistributedSampler
+    from eprecon_tpu.models.eprecon import make_recurrent_state
+    from eprecon_tpu.parallel.mesh import initialize_distributed, is_main_process
+    from eprecon_tpu.train import checkpoint as ckpt
+    from eprecon_tpu.train.loop import train_epochs
+    from eprecon_tpu.train.state import (create_train_state, make_optimizer,
+                                         make_train_step)
+
+    initialize_distributed()
+    dataset = build_dataset(cfg, "train")
+    steps_per_epoch = max(len(dataset), 1)
+
+    # init from the first sample
+    from eprecon_tpu.train.loop import fragment_to_device_args
+    import numpy as np
+
+    sample = dataset[0]
+    half = (np.asarray(cfg.model.global_extent) * cfg.model.voxel_size / 2)
+    gorigin = np.asarray(sample["vol_origin"], np.float32) - half.astype(np.float32)
+    imgs, frag, targets = fragment_to_device_args(cfg, sample, gorigin)
+    rec = make_recurrent_state(cfg.model)
+    tstate, model = create_train_state(cfg, jax.random.PRNGKey(cfg.seed),
+                                       (imgs, frag, rec, targets),
+                                       steps_per_epoch)
+
+    if cfg.resume:
+        latest = ckpt.latest_checkpoint(cfg.logdir)
+        if latest:
+            tstate = ckpt.restore_checkpoint(latest, tstate)
+            print(f"resumed from {latest}")
+    elif cfg.loadckpt:
+        tstate = ckpt.restore_checkpoint(cfg.loadckpt, tstate)
+
+    tx = make_optimizer(cfg, steps_per_epoch)
+    step_fn = make_train_step(model, tx, cfg)
+
+    sampler = ContiguousDistributedSampler(len(dataset), 1, 0)
+
+    def iter_epoch(epoch):
+        dataset.epoch = epoch
+        for i in sampler:
+            yield dataset[i]
+
+    train_epochs(cfg, model, tstate, step_fn, iter_epoch)
+
+
+def run_test(cfg):
+    import jax
+    import numpy as np
+
+    from eprecon_tpu.inference.pipeline import StreamingReconstructor
+    from eprecon_tpu.models.eprecon import EPRecon, make_recurrent_state
+    from eprecon_tpu.train import checkpoint as ckpt
+    from eprecon_tpu.train.loop import evaluate, fragment_to_device_args
+
+    dataset = build_dataset(cfg, "test")
+    sample = dataset[0]
+    imgs, frag, _ = fragment_to_device_args(
+        cfg, sample, np.asarray(sample["vol_origin"], np.float32))
+    model = EPRecon(cfg.model)
+    rec = make_recurrent_state(cfg.model)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), imgs, frag, rec, None)
+    if cfg.loadckpt:
+        restored = ckpt.restore_checkpoint(cfg.loadckpt, None)
+        variables = {"params": restored["params"],
+                     **restored.get("batch_stats", {})}
+    recon = StreamingReconstructor(cfg, variables)
+
+    def iter_all():
+        for i in range(len(dataset)):
+            yield dataset[i]
+
+    out_dir = os.path.join(cfg.logdir, "scenes")
+    evaluate(cfg, recon, iter_all(), out_dir=out_dir)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("EPRecon-TPU")
+    ap.add_argument("--cfg", required=True)
+    ap.add_argument("opts", nargs=argparse.REMAINDER,
+                    help="KEY VALUE config overrides")
+    args = ap.parse_args(argv)
+
+    from eprecon_tpu.config import load_config, parse_cli_overrides
+
+    cfg = load_config(args.cfg, parse_cli_overrides(args.opts))
+    if cfg.mode == "train":
+        run_train(cfg)
+    else:
+        run_test(cfg)
+
+
+if __name__ == "__main__":
+    main()

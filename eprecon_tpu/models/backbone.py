@@ -11,7 +11,9 @@ scratch uses He init.
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Any, List, Sequence
+
+import functools
 
 import flax.linen as nn
 import jax
@@ -38,20 +40,24 @@ class InvertedResidual(nn.Module):
     stride: int
     expansion: int
     use_running_average: bool = False
+    dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         mid = self.in_ch * self.expansion
         ura = self.use_running_average
-        h = nn.Conv(mid, (1, 1), use_bias=False)(x)
-        h = nn.BatchNorm(use_running_average=ura)(h)
+        _Conv = functools.partial(nn.Conv, dtype=self.dtype)
+        h = _Conv(mid, (1, 1), use_bias=False)(x)
+        h = nn.BatchNorm(use_running_average=ura, dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = nn.Conv(mid, (self.kernel, self.kernel), strides=self.stride,
-                    padding="SAME", feature_group_count=mid, use_bias=False)(h)
-        h = nn.BatchNorm(use_running_average=ura)(h)
+        pad = self.kernel // 2
+        h = _Conv(mid, (self.kernel, self.kernel), strides=self.stride,
+                  padding=((pad, pad), (pad, pad)),
+                  feature_group_count=mid, use_bias=False)(h)
+        h = nn.BatchNorm(use_running_average=ura, dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = nn.Conv(self.out_ch, (1, 1), use_bias=False)(h)
-        h = nn.BatchNorm(use_running_average=ura)(h)
+        h = _Conv(self.out_ch, (1, 1), use_bias=False)(h)
+        h = nn.BatchNorm(use_running_average=ura, dtype=self.dtype)(h)
         if self.stride == 1 and self.in_ch == self.out_ch:
             h = h + x
         return h
@@ -65,14 +71,17 @@ class MBStack(nn.Module):
     expansion: int
     repeats: int
     use_running_average: bool = False
+    dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         x = InvertedResidual(self.in_ch, self.out_ch, self.kernel, self.stride,
-                             self.expansion, self.use_running_average)(x)
+                             self.expansion, self.use_running_average,
+                             self.dtype)(x)
         for _ in range(self.repeats - 1):
             x = InvertedResidual(self.out_ch, self.out_ch, self.kernel, 1,
-                                 self.expansion, self.use_running_average)(x)
+                                 self.expansion, self.use_running_average,
+                                 self.dtype)(x)
         return x
 
 
@@ -85,39 +94,43 @@ class MnasMulti(nn.Module):
     """
     alpha: float = 1.0
     use_running_average: bool = False
+    dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         d = get_depths(self.alpha)
         ura = self.use_running_average
+        _Conv = functools.partial(nn.Conv, dtype=self.dtype)
 
         # conv0 = torchvision layers 0-8 (reference backbone.py:32-42)
-        h = nn.Conv(d[0], (3, 3), strides=2, padding="SAME", use_bias=False)(x)
-        h = nn.BatchNorm(use_running_average=ura)(h)
+        # torch-style symmetric padding (flax SAME pads (0,1) at stride 2)
+        h = _Conv(d[0], (3, 3), strides=2, padding=((1, 1), (1, 1)),
+                  use_bias=False)(x)
+        h = nn.BatchNorm(use_running_average=ura, dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = nn.Conv(d[0], (3, 3), padding="SAME", feature_group_count=d[0],
+        h = _Conv(d[0], (3, 3), padding="SAME", feature_group_count=d[0],
                     use_bias=False)(h)
-        h = nn.BatchNorm(use_running_average=ura)(h)
+        h = nn.BatchNorm(use_running_average=ura, dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = nn.Conv(d[1], (1, 1), use_bias=False)(h)
-        h = nn.BatchNorm(use_running_average=ura)(h)
-        conv0 = MBStack(d[1], d[2], 3, 2, 3, 3, ura)(h)       # 1/4, 24ch
-        conv1 = MBStack(d[2], d[3], 5, 2, 3, 3, ura)(conv0)   # 1/8, 40ch
-        conv2 = MBStack(d[3], d[4], 5, 2, 6, 3, ura)(conv1)   # 1/16, 80ch
+        h = _Conv(d[1], (1, 1), use_bias=False)(h)
+        h = nn.BatchNorm(use_running_average=ura, dtype=self.dtype)(h)
+        conv0 = MBStack(d[1], d[2], 3, 2, 3, 3, ura, self.dtype)(h)       # 1/4, 24ch
+        conv1 = MBStack(d[2], d[3], 5, 2, 3, 3, ura, self.dtype)(conv0)   # 1/8, 40ch
+        conv2 = MBStack(d[3], d[4], 5, 2, 6, 3, ura, self.dtype)(conv1)   # 1/16, 80ch
 
         # FPN (reference backbone.py:47-77)
         final_chs = d[4]
         intra = conv2
-        out_coarse = nn.Conv(final_chs, (1, 1), use_bias=False)(intra)
+        out_coarse = _Conv(final_chs, (1, 1), use_bias=False)(intra)
 
         up = jax.image.resize(intra, (intra.shape[0], intra.shape[1] * 2,
                                       intra.shape[2] * 2, intra.shape[3]), "nearest")
-        intra = up + nn.Conv(final_chs, (1, 1), use_bias=True)(conv1)
-        out_mid = nn.Conv(d[3], (3, 3), padding="SAME", use_bias=False)(intra)
+        intra = up + _Conv(final_chs, (1, 1), use_bias=True)(conv1)
+        out_mid = _Conv(d[3], (3, 3), padding="SAME", use_bias=False)(intra)
 
         up = jax.image.resize(intra, (intra.shape[0], intra.shape[1] * 2,
                                       intra.shape[2] * 2, intra.shape[3]), "nearest")
-        intra = up + nn.Conv(final_chs, (1, 1), use_bias=True)(conv0)
-        out_fine = nn.Conv(d[2], (3, 3), padding="SAME", use_bias=False)(intra)
+        intra = up + _Conv(final_chs, (1, 1), use_bias=True)(conv0)
+        out_fine = _Conv(d[2], (3, 3), padding="SAME", use_bias=False)(intra)
 
         return [out_fine, out_mid, out_coarse]

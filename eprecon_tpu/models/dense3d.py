@@ -11,9 +11,10 @@ exact layer after layer.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -26,9 +27,11 @@ class SubMConv3dDense(nn.Module):
 
     x: [X, Y, Z, Cin] (or batched [..., X, Y, Z, Cin]); mask: [X, Y, Z] bool.
     Xavier-uniform weights + zero bias (reference models/modules.py:256-258).
+    Computes in bf16 (params stay f32) — the MXU fast path.
     """
     features: int
     kernel: int = 3
+    dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, mask):
@@ -37,6 +40,7 @@ class SubMConv3dDense(nn.Module):
         if not batched:
             x = x[None]
         y = nn.Conv(self.features, (self.kernel,) * 3, padding="SAME",
+                    dtype=self.dtype,
                     kernel_init=nn.initializers.xavier_uniform())(x)
         if not batched:
             y = y[0]
@@ -68,14 +72,17 @@ class MaskedBatchNorm3d(nn.Module):
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            w = mask.astype(x.dtype)[..., None]
+            x32 = x.astype(jnp.float32)
+            w = mask.astype(jnp.float32)[..., None]
             n = jnp.maximum(jnp.sum(w), 1.0)
-            mean = jnp.sum(x * w, axis=tuple(range(x.ndim - 1))) / n
-            var = jnp.sum(w * (x - mean) ** 2, axis=tuple(range(x.ndim - 1))) / n
+            mean = jnp.sum(x32 * w, axis=tuple(range(x.ndim - 1))) / n
+            var = jnp.sum(w * (x32 - mean) ** 2, axis=tuple(range(x.ndim - 1))) / n
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
-        y = (x - mean) / jnp.sqrt(var + self.epsilon) * scale + bias
+        y = (x - mean.astype(x.dtype)) * (
+            jax.lax.rsqrt(var + self.epsilon).astype(x.dtype)) * scale.astype(x.dtype) \
+            + bias.astype(x.dtype)
         return _mask3(y, mask)
 
 
@@ -140,3 +147,78 @@ def maxpool3d(mask_or_vol: jnp.ndarray, factor: int) -> jnp.ndarray:
     v = mask_or_vol.reshape(x // factor, factor, y // factor, factor,
                             z // factor, factor)
     return v.max(axis=(1, 3, 5))
+
+
+def upsample_nearest2(vol: jnp.ndarray) -> jnp.ndarray:
+    """[X,Y,Z,C] → [2X,2Y,2Z,C] nearest (sparse x8 upsample equivalent,
+    reference neucon_network.py:193-214)."""
+    x, y, z, c = vol.shape
+    v = jnp.broadcast_to(vol[:, None, :, None, :, None, :],
+                         (x, 2, y, 2, z, 2, c))
+    return v.reshape(2 * x, 2 * y, 2 * z, c)
+
+
+def upsample_trilinear(vol: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """[X,Y,Z,C] trilinear upsample (dense voxel_to_point equivalent)."""
+    x, y, z, c = vol.shape
+    return jax.image.resize(vol, (x * factor, y * factor, z * factor, c),
+                            "trilinear")
+
+
+class ConvDown3dDense(nn.Module):
+    """ks=2 stride-2 conv on a masked dense volume (torchsparse stride-2
+    Conv3d equivalent: output mask = any-active in each 2^3 cell)."""
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask):
+        x = _mask3(x, mask)
+        y = nn.Conv(self.features, (2, 2, 2), strides=2, padding="VALID",
+                    dtype=self.dtype, use_bias=False)(x[None])[0]
+        out_mask = maxpool3d(mask, 2)
+        return _mask3(y, out_mask), out_mask
+
+
+class ConvUp3dDense(nn.Module):
+    """ks=2 stride-2 transposed conv (torchsparse transposed Conv3d:
+    outputs restricted to the cached finer coordinate set = fine mask)."""
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, coarse_mask, fine_mask):
+        x = _mask3(x, coarse_mask)
+        y = nn.ConvTranspose(self.features, (2, 2, 2), strides=(2, 2, 2),
+                             dtype=self.dtype, use_bias=False)(x[None])[0]
+        return _mask3(y, fine_mask)
+
+
+class MaskedBNReLU(nn.Module):
+    use_running_average: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask):
+        x = MaskedBatchNorm3d(self.use_running_average)(x, mask)
+        return _mask3(nn.relu(x), mask)
+
+
+class DenseResidualBlock(nn.Module):
+    """conv-BN-ReLU-conv-BN + (1x1-BN skip) + ReLU on a masked dense volume
+    (reference models/modules.py:46-72 ResidualBlock)."""
+    features: int
+    use_running_average: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask):
+        h = SubMConv3dDense(self.features, 3)(x, mask)
+        h = MaskedBatchNorm3d(self.use_running_average)(h, mask)
+        h = nn.relu(h)
+        h = SubMConv3dDense(self.features, 3)(h, mask)
+        h = MaskedBatchNorm3d(self.use_running_average)(h, mask)
+        if x.shape[-1] == self.features:
+            skip = x
+        else:
+            skip = nn.Dense(self.features, use_bias=False)(x)
+            skip = MaskedBatchNorm3d(self.use_running_average)(skip, mask)
+        return _mask3(nn.relu(h + skip), mask)

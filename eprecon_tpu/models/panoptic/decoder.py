@@ -75,10 +75,11 @@ class MultiHeadAttention(nn.Module):
         h = self.num_heads
         hd = c // h
         xavier = nn.initializers.xavier_uniform()
-        wq = nn.Dense(c, kernel_init=xavier, name="q")(q).reshape(-1, h, hd)
-        wk = nn.Dense(c, kernel_init=xavier, name="k")(k).reshape(-1, h, hd)
-        wv = nn.Dense(c, kernel_init=xavier, name="v")(v).reshape(-1, h, hd)
-        logits = jnp.einsum("qhd,lhd->hql", wq, wk) / np.sqrt(hd)
+        dt = jnp.bfloat16
+        wq = nn.Dense(c, kernel_init=xavier, dtype=dt, name="q")(q).reshape(-1, h, hd)
+        wk = nn.Dense(c, kernel_init=xavier, dtype=dt, name="k")(k).reshape(-1, h, hd)
+        wv = nn.Dense(c, kernel_init=xavier, dtype=dt, name="v")(v).reshape(-1, h, hd)
+        logits = (jnp.einsum("qhd,lhd->hql", wq, wk) / np.sqrt(hd)).astype(jnp.float32)
         if attn_mask is not None:
             if attn_mask.ndim == 2:
                 attn_mask = attn_mask[None]

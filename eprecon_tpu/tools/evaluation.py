@@ -1,0 +1,168 @@
+"""Scene-level 3D evaluation.
+
+Reference: tools/evaluation.py:45-158 — per test frame, render the predicted
+mesh to depth (pyrender), compute 2D depth metrics, re-fuse the rendered
+depth (open3d ScalableTSDFVolume) to trim unobserved-region fill, then
+compare point clouds (eval_mesh).
+
+TPU-native re-design: depth is rendered by ray-marching the predicted TSDF
+volume directly on device (no mesh rasterizer needed), the trim re-fusion
+uses ops/tsdf_fusion, and point metrics come from tools/evaluation_utils.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+@functools.partial(__import__("jax").jit, static_argnames=("hw",))
+def render_tsdf_depth(tsdf, origin, voxel_size: float, intr, cam_pose,
+                      hw=(480, 640), max_depth: float = 6.0, n_steps: int = 192):
+    """Ray-march a dense TSDF volume to a depth map [H, W].
+
+    Fixed-step marching with linear zero-crossing refinement: TPU-friendly
+    (static trip count, trilinear gathers).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    h, w = hw
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    dirs_cam = jnp.stack([(xs - intr[0, 2]) / intr[0, 0],
+                          (ys - intr[1, 2]) / intr[1, 1],
+                          jnp.ones_like(xs)], -1).reshape(-1, 3)
+    r = cam_pose[:3, :3]
+    o = cam_pose[:3, 3]
+    dirs = dirs_cam @ r.T  # [N, 3] world
+    norm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    dim = jnp.asarray(tsdf.shape, jnp.float32)
+
+    def sample(pts):
+        """Trilinear TSDF sample; outside volume → +1."""
+        g = (pts - origin) / voxel_size
+        g0 = jnp.floor(g).astype(jnp.int32)
+        f = g - g0
+        val = jnp.zeros(pts.shape[0])
+        for cz in range(2):
+            for cy in range(2):
+                for cx in range(2):
+                    c = g0 + jnp.asarray([cx, cy, cz])
+                    inb = ((c >= 0) & (c < dim.astype(jnp.int32))).all(-1)
+                    cc = jnp.clip(c, 0, dim.astype(jnp.int32) - 1)
+                    v = tsdf[cc[:, 0], cc[:, 1], cc[:, 2]]
+                    v = jnp.where(inb, v, 1.0)
+                    wgt = ((f[:, 0] if cx else 1 - f[:, 0])
+                           * (f[:, 1] if cy else 1 - f[:, 1])
+                           * (f[:, 2] if cz else 1 - f[:, 2]))
+                    val = val + v * wgt
+        return val
+
+    step = max_depth / n_steps
+
+    def body(i, carry):
+        t_hit, prev_v = carry
+        t = (i + 1) * step
+        pts = o[None, :] + dirs * t
+        v = sample(pts)
+        crossed = (prev_v > 0) & (v <= 0) & (t_hit < 0)
+        # linear interp of crossing point
+        denom = jnp.where(jnp.abs(prev_v - v) < 1e-9, 1e-9, prev_v - v)
+        t_cross = t - step + step * prev_v / denom
+        t_hit = jnp.where(crossed, t_cross, t_hit)
+        return t_hit, v
+
+    import jax.lax as lax
+
+    t_hit, _ = lax.fori_loop(0, n_steps, body,
+                             (jnp.full(dirs.shape[0], -1.0), sample(o[None, :] + dirs * 1e-4)))
+    z = jnp.where(t_hit > 0, t_hit * dirs_cam[:, 2], 0.0)
+    return z.reshape(h, w)
+
+
+def trim_tsdf(depths, intrinsics, poses, origin, dim, voxel_size: float = 0.06):
+    """Re-fuse rendered depths to trim hole-fill in unobserved regions
+    (reference evaluation.py:103-147 open3d re-fusion)."""
+    import jax.numpy as jnp
+
+    from eprecon_tpu.ops import tsdf_fusion
+
+    t, w = tsdf_fusion.fuse_frames(
+        jnp.asarray(np.stack(depths)), jnp.asarray(np.stack(intrinsics)),
+        jnp.asarray(np.stack(poses)), jnp.asarray(origin), dim, voxel_size)
+    return np.asarray(t), np.asarray(w)
+
+
+def evaluate_scene(pred_npz: str, gt_mesh_verts: np.ndarray,
+                   test_frames: Optional[dict] = None,
+                   max_frames: int = 200) -> Dict[str, float]:
+    """Full per-scene protocol (reference evaluation.py:85-158)."""
+    from eprecon_tpu.inference.mesh_export import marching_cubes
+    from eprecon_tpu.tools.evaluation_utils import eval_depth, eval_mesh
+
+    data = np.load(pred_npz, allow_pickle=True)
+    tsdf = data["tsdf"]
+    origin = data["origin"]
+    vsz = float(data["voxel_size"])
+
+    metrics: Dict[str, float] = {}
+    if test_frames is not None:
+        import jax.numpy as jnp
+
+        depth_metrics = []
+        rendered, used_k, used_p = [], [], []
+        sel = np.linspace(0, len(test_frames["depths"]) - 1,
+                          min(max_frames, len(test_frames["depths"]))).astype(int)
+        for i in sel:
+            d_gt = test_frames["depths"][i]
+            k = test_frames["intrinsics"][i]
+            p = test_frames["poses"][i]
+            d_pred = np.asarray(render_tsdf_depth(
+                jnp.asarray(tsdf), jnp.asarray(origin), vsz, jnp.asarray(k),
+                jnp.asarray(p), hw=d_gt.shape))
+            depth_metrics.append(eval_depth(d_pred, d_gt))
+            rendered.append(d_pred)
+            used_k.append(k)
+            used_p.append(p)
+        for key in depth_metrics[0]:
+            metrics[key] = float(np.nanmean([m[key] for m in depth_metrics]))
+        # trim: re-fuse rendered depth, evaluate the trimmed surface
+        dim = tuple(int(np.ceil(s * vsz / 0.06)) + 1 for s in tsdf.shape)
+        t_trim, _ = trim_tsdf(rendered, used_k, used_p, origin, dim, 0.06)
+        if (np.abs(t_trim) < 1).any():
+            verts, _, _ = marching_cubes(t_trim)
+            verts_pred = verts * 0.06 + origin[None, :]
+        else:
+            verts_pred = np.zeros((0, 3))
+    else:
+        verts, _, _ = marching_cubes(tsdf)
+        verts_pred = verts * vsz + origin[None, :]
+
+    metrics.update(eval_mesh(verts_pred, gt_mesh_verts))
+    return metrics
+
+
+def visualize_metrics(result_dir: str, keys=("AbsRel", "AbsDiff", "SqRel",
+                                             "RMSE", "LogRMSE", "r1", "r2",
+                                             "r3", "complete", "dist1",
+                                             "dist2", "prec", "recal",
+                                             "fscore")):
+    """Aggregate per-scene metrics.json and print nanmeans
+    (reference tools/visualize_metrics.py:7-27)."""
+    rows = []
+    for f in sorted(os.listdir(result_dir)):
+        if f.endswith("_metrics.json"):
+            with open(os.path.join(result_dir, f)) as fh:
+                rows.append(json.load(fh))
+    if not rows:
+        print("no metrics found")
+        return {}
+    means = {k: float(np.nanmean([r.get(k, np.nan) for r in rows])) for k in keys}
+    for k, v in means.items():
+        print(f"{k:10s} {v:.4f}")
+    return means

@@ -1,0 +1,114 @@
+"""3D mesh + 2D depth evaluation metrics.
+
+Reference: tools/evaluation_utils.py:5-109 — eval_mesh computes bidirectional
+nearest-neighbor point distances (2 cm downsample, 5 cm inlier threshold →
+dist1/dist2/precision/recall/F-score); eval_depth computes the standard
+AbsRel/AbsDiff/SqRel/RMSE/LogRMSE/δ<1.25^k/complete set. KD-trees come from
+scipy (the reference used open3d's; identical math).
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def uniform_downsample(points: np.ndarray, voxel: float) -> np.ndarray:
+    """Keep one point per `voxel`-sized cell (open3d voxel_down_sample
+    equivalent)."""
+    if len(points) == 0:
+        return points
+    keys = np.floor(points / voxel).astype(np.int64)
+    _, idx = np.unique(keys, axis=0, return_index=True)
+    return points[np.sort(idx)]
+
+
+def nn_correspondance(verts1: np.ndarray, verts2: np.ndarray) -> np.ndarray:
+    """For each vert in verts2, distance to the nearest vert in verts1
+    (reference evaluation_utils.py:45-70)."""
+    from scipy.spatial import cKDTree
+
+    if len(verts1) == 0 or len(verts2) == 0:
+        return np.zeros(0)
+    tree = cKDTree(verts1)
+    dist, _ = tree.query(verts2, k=1)
+    return dist
+
+
+def eval_mesh(verts_pred: np.ndarray, verts_gt: np.ndarray,
+              threshold: float = 0.05, down_sample: float = 0.02) -> Dict[str, float]:
+    """reference evaluation_utils.py:5-42."""
+    if down_sample:
+        verts_pred = uniform_downsample(verts_pred, down_sample)
+        verts_gt = uniform_downsample(verts_gt, down_sample)
+    dist1 = nn_correspondance(verts_pred, verts_gt)   # gt → pred
+    dist2 = nn_correspondance(verts_gt, verts_pred)   # pred → gt
+    precision = float(np.mean((dist2 < threshold).astype(np.float64))) if len(dist2) else 0.0
+    recal = float(np.mean((dist1 < threshold).astype(np.float64))) if len(dist1) else 0.0
+    fscore = 2 * precision * recal / (precision + recal) if precision + recal > 0 else 0.0
+    return dict(
+        dist1=float(np.mean(dist2)) if len(dist2) else np.inf,  # pred→gt (acc)
+        dist2=float(np.mean(dist1)) if len(dist1) else np.inf,  # gt→pred (compl)
+        prec=precision, recal=recal, fscore=fscore,
+    )
+
+
+def eval_depth(depth_pred: np.ndarray, depth_trgt: np.ndarray) -> Dict[str, float]:
+    """reference evaluation_utils.py:73-109."""
+    mask1 = depth_pred > 0
+    mask = (depth_trgt < 10) & (depth_trgt > 0) & mask1
+    depth_pred = depth_pred[mask]
+    depth_trgt = depth_trgt[mask]
+    if len(depth_pred) == 0:
+        return {k: np.nan for k in ("AbsRel", "AbsDiff", "SqRel", "RMSE",
+                                    "LogRMSE", "r1", "r2", "r3", "complete")}
+    abs_diff = np.abs(depth_pred - depth_trgt)
+    abs_rel = abs_diff / depth_trgt
+    sq_diff = abs_diff ** 2
+    sq_rel = sq_diff / depth_trgt
+    sq_log_diff = (np.log(depth_pred) - np.log(depth_trgt)) ** 2
+    thresh = np.maximum(depth_pred / depth_trgt, depth_trgt / depth_pred)
+    return dict(
+        AbsRel=float(abs_rel.mean()), AbsDiff=float(abs_diff.mean()),
+        SqRel=float(sq_rel.mean()), RMSE=float(np.sqrt(sq_diff.mean())),
+        LogRMSE=float(np.sqrt(sq_log_diff.mean())),
+        r1=float((thresh < 1.25).mean()), r2=float((thresh < 1.25 ** 2).mean()),
+        r3=float((thresh < 1.25 ** 3).mean()),
+        complete=float((depth_trgt > 0).mean() if mask1.sum() else 0.0),
+    )
+
+
+def panoptic_quality(pred_seg: np.ndarray, pred_cls: Dict[int, int],
+                     gt_seg: np.ndarray, gt_cls: Dict[int, int],
+                     iou_threshold: float = 0.5) -> Dict[str, float]:
+    """Voxel-level PQ/SQ/RQ (the metric the reference defers to the external
+    ScanNet benchmark; provided natively here for closed-loop evaluation).
+
+    pred_seg/gt_seg: [N] per-voxel segment ids (0 = void); *_cls: id → class.
+    """
+    matches = []
+    matched_pred, matched_gt = set(), set()
+    pred_ids = [i for i in np.unique(pred_seg) if i != 0]
+    gt_ids = [i for i in np.unique(gt_seg) if i != 0]
+    for g in gt_ids:
+        gmask = gt_seg == g
+        best_iou, best_p = 0.0, None
+        for p in pred_ids:
+            if p in matched_pred or pred_cls.get(p) != gt_cls.get(g):
+                continue
+            pmask = pred_seg == p
+            inter = np.sum(gmask & pmask)
+            union = np.sum(gmask | pmask)
+            iou = inter / union if union else 0.0
+            if iou > best_iou:
+                best_iou, best_p = iou, p
+        if best_p is not None and best_iou > iou_threshold:
+            matches.append(best_iou)
+            matched_pred.add(best_p)
+            matched_gt.add(g)
+    tp = len(matches)
+    fp = len(pred_ids) - tp
+    fn = len(gt_ids) - tp
+    sq = float(np.mean(matches)) if matches else 0.0
+    rq = tp / (tp + 0.5 * fp + 0.5 * fn) if (tp + fp + fn) else 0.0
+    return dict(PQ=sq * rq, SQ=sq, RQ=rq, tp=tp, fp=fp, fn=fn)

@@ -1,0 +1,137 @@
+"""Training / evaluation driver loops.
+
+Reference: main.py:183-348 (train epoch loop: loss logging, checkpointing,
+LR schedule, accumulation) and :351-411 (test loop: temporal-order streaming
+eval with mesh saving). The TPU version keeps per-device scene streams: each
+mesh device consumes its contiguous fragment shard and carries its own
+RecurrentState; a scene change resets that device's state host-side.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eprecon_tpu.config import Config
+from eprecon_tpu.models.eprecon import (FragmentInputs, FragmentTargets,
+                                        make_recurrent_state)
+from eprecon_tpu.train import checkpoint as ckpt
+from eprecon_tpu.train.state import TrainState
+
+
+class MetricsMeter:
+    """Running means of scalar metrics (reference utils.py:116-135
+    DictAverageMeter)."""
+
+    def __init__(self):
+        self.sums: Dict[str, float] = {}
+        self.count = 0
+
+    def update(self, metrics: Dict[str, Any]):
+        for k, v in metrics.items():
+            self.sums[k] = self.sums.get(k, 0.0) + float(v)
+        self.count += 1
+
+    def mean(self) -> Dict[str, float]:
+        return {k: v / max(self.count, 1) for k, v in self.sums.items()}
+
+
+def fragment_to_device_args(cfg: Config, data: dict, global_origin: np.ndarray):
+    """dict from the data pipeline → (imgs, FragmentInputs, FragmentTargets)."""
+    rel = []
+    for i in range(cfg.model.n_layer):
+        interval = 2 ** (cfg.model.n_scales - i)
+        vsz = cfg.model.voxel_size * interval
+        rel.append(np.round((data["vol_origin_partial"] - global_origin)
+                            / vsz).astype(np.int32))
+    frag = FragmentInputs(
+        jnp.asarray(data["proj_matrices"]),
+        jnp.asarray(data["vol_origin_partial"]),
+        jnp.asarray(data["world_to_aligned_camera"]),
+        jnp.asarray(np.stack(rel)))
+    targets = None
+    if "tsdf_list" in data:
+        targets = FragmentTargets(
+            tsdf=tuple(jnp.asarray(t) for t in data["tsdf_list"]),
+            occ=tuple(jnp.asarray(o) for o in data["occ_list"]),
+            semantic=jnp.asarray(data["semantic"]) if "semantic" in data else None,
+            instance=jnp.asarray(data["instance"]) if "instance" in data else None)
+    imgs = jnp.asarray(np.stack(data["imgs"]) if isinstance(data["imgs"], list)
+                       else data["imgs"])
+    return imgs, frag, targets
+
+
+def train_epochs(cfg: Config, model, tstate: TrainState, step_fn,
+                 dataset_iter_fn: Callable[[int], Iterable[dict]],
+                 epochs: Optional[int] = None,
+                 log_fn: Callable[[str], None] = print):
+    """Single-stream (one device) training loop. For the mesh-sharded loop,
+    batch per-device streams before calling step_fn (see __graft_entry__
+    dryrun_multichip for the sharded calling convention)."""
+    epochs = epochs or cfg.train.epochs
+    start_epoch = int(tstate.epoch)
+    rec = make_recurrent_state(cfg.model)
+    scene = None
+    global_origin = np.zeros(3, np.float32)
+
+    for epoch in range(start_epoch, epochs):
+        meter = MetricsMeter()
+        t0 = time.time()
+        for data in dataset_iter_fn(epoch):
+            if data.get("scene") != scene:
+                scene = data.get("scene")
+                rec = make_recurrent_state(cfg.model)
+                # center the dense global volume on the scene origin so the
+                # randomly-transformed fragment windows index non-negatively
+                half = (np.asarray(cfg.model.global_extent)
+                        * cfg.model.voxel_size / 2)
+                global_origin = (np.asarray(data.get("vol_origin", np.zeros(3)),
+                                            np.float32) - half.astype(np.float32))
+                snap = cfg.model.voxel_size * 2 ** cfg.model.n_scales
+                global_origin = np.round(global_origin / snap) * snap
+            imgs, frag, targets = fragment_to_device_args(cfg, data, global_origin)
+            tstate, rec, metrics = step_fn(tstate, imgs, frag, targets, rec)
+            meter.update({k: v for k, v in metrics.items()})
+        means = meter.mean()
+        log_fn(f"epoch {epoch}: {means} ({time.time()-t0:.1f}s)")
+        tstate = tstate._replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
+        if (epoch + 1) % cfg.save_freq == 0:
+            ckpt.save_checkpoint(cfg.logdir, epoch, tstate)
+    return tstate
+
+
+def evaluate(cfg: Config, reconstructor, dataset_iter: Iterable[dict],
+             out_dir: Optional[str] = None,
+             log_fn: Callable[[str], None] = print):
+    """Streaming test loop (reference main.py:351-411): feed fragments in
+    temporal order, save finished scenes."""
+    from eprecon_tpu.inference.mesh_export import save_scene
+
+    n = 0
+    t0 = time.time()
+    results = []
+    for data in dataset_iter:
+        finished = reconstructor.process_fragment(
+            scene=data["scene"], imgs=np.stack(data["imgs"]),
+            proj_matrices=data["proj_matrices"],
+            vol_origin=np.asarray(data["vol_origin"]),
+            vol_origin_partial=np.asarray(data["vol_origin_partial"]),
+            world_to_aligned_camera=data["world_to_aligned_camera"])
+        if finished is not None:
+            results.append(finished)
+            if out_dir:
+                save_scene(finished, out_dir)
+            log_fn(f"scene {finished.name} done")
+        n += 1
+    final = reconstructor.flush()
+    if final is not None:
+        results.append(final)
+        if out_dir:
+            save_scene(final, out_dir)
+    dt = time.time() - t0
+    log_fn(f"{n} fragments in {dt:.1f}s "
+           f"({n * cfg.test.n_views / max(dt, 1e-9):.1f} keyframes/s)")
+    return results

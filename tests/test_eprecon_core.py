@@ -20,8 +20,8 @@ def tiny_config():
         voxel_size=0.12,
         voxel_capacity=(512, 2048, 8192),
         stage_capacity=(512, 4096, 16384),
-        global_capacity=(4096, 8192, 32768),
-        point_window=(24, 40, 72),
+        global_extent=(64, 64, 32),
+        min_init_voxels=100, min_stage_voxels=50,
     )
     return dataclasses.replace(cfg, model=m)
 
@@ -68,8 +68,8 @@ def test_fragment_forward_train(frag_data):
     assert "coords" in outputs and "tsdf" in outputs
     assert outputs["pred_logits"].shape == (80, 21)
     # state was updated: global maps hold the fragment
-    assert int(new_state.gmaps[0].valid.sum()) > 0
-    assert int(new_state.tmaps[0].valid.sum()) > 0
+    assert int(new_state.gmaps[0].mask.sum()) > 0
+    assert int(new_state.tmaps[0].occ.sum()) > 0
 
 
 def test_fragment_forward_inference_no_targets(frag_data):
@@ -99,9 +99,9 @@ def test_two_fragment_temporal_fusion(frag_data):
 
     (_, _, s1), _ = model.apply(variables, imgs, frag, state, targets,
                                 mutable=["batch_stats"])
-    n1 = int(s1.gmaps[2].valid.sum())
+    n1 = int(s1.gmaps[2].mask.sum())
     (_, _, s2), _ = model.apply(variables, imgs, frag, s1, targets,
                                 mutable=["batch_stats"])
-    n2 = int(s2.gmaps[2].valid.sum())
+    n2 = int(s2.gmaps[2].mask.sum())
     assert n1 > 0
     assert n2 >= n1  # same window revisited: union can only grow
