@@ -60,12 +60,20 @@ def main():
         return outputs["tsdf"], outputs["pred_masks"], new_state
 
     t0 = time.time()
-    out = fwd(variables, imgs, frag, state)
-    jax.block_until_ready(out)
-    print(f"# compile: {time.time() - t0:.0f}s", file=sys.stderr)
+    tsdf, masks, state = fwd(variables, imgs, frag, state)
+    print(f"# compile+first: {time.time() - t0:.0f}s", file=sys.stderr)
 
-    ms = time_fn(lambda v, i, f, s: fwd(v, i, f, s)[0], variables, imgs, frag,
-                 state, iters=20, warmup=3)
+    # streaming benchmark: thread the (donated) recurrent state through
+    # back-to-back fragments, force completion with one scalar readback
+    for _ in range(3):  # warmup
+        tsdf, masks, state = fwd(variables, imgs, frag, state)
+    float(tsdf.reshape(-1)[0])
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        tsdf, masks, state = fwd(variables, imgs, frag, state)
+    float(tsdf.reshape(-1)[0])
+    ms = (time.perf_counter() - t0) * 1e3 / iters
     kfps = n_views / (ms / 1e3)
     print(json.dumps({"metric": "keyframes_per_sec",
                       "value": round(kfps, 2), "unit": "kf/s",
