@@ -13,15 +13,18 @@ import jax.numpy as jnp
 
 
 class Conv2dBlock(nn.Module):
-    """Conv + BN + ReLU (reference models/modules.py:372-382)."""
+    """Conv + BN + ReLU (reference models/modules.py:372-382). bf16 compute."""
     features: int
     kernel: int
     use_running_average: bool = False
+    dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, (self.kernel, self.kernel), padding="SAME")(x)
-        x = nn.BatchNorm(use_running_average=self.use_running_average)(x)
+        x = nn.Conv(self.features, (self.kernel, self.kernel), padding="SAME",
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=self.use_running_average,
+                         dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -29,13 +32,16 @@ class Conv2dResidualBlock(nn.Module):
     """Conv + ReLU + residual + BN (reference models/modules.py:385-399)."""
     kernel: int
     use_running_average: bool = False
+    dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
-        out = nn.Conv(x.shape[-1], (self.kernel, self.kernel), padding="SAME")(x)
+        out = nn.Conv(x.shape[-1], (self.kernel, self.kernel), padding="SAME",
+                      dtype=self.dtype)(x)
         out = nn.relu(out)
         out = out + x
-        return nn.BatchNorm(use_running_average=self.use_running_average)(out)
+        return nn.BatchNorm(use_running_average=self.use_running_average,
+                            dtype=self.dtype)(out)
 
 
 class ELAN2D(nn.Module):
@@ -67,11 +73,13 @@ class FusionBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        out = nn.Conv(c, (3, 3), padding="SAME")(x)
-        out = nn.BatchNorm(use_running_average=self.use_running_average)(out)
+        out = nn.Conv(c, (3, 3), padding="SAME", dtype=jnp.bfloat16)(x)
+        out = nn.BatchNorm(use_running_average=self.use_running_average,
+                           dtype=jnp.bfloat16)(out)
         out = nn.relu(out)
-        out = nn.Conv(c, (1, 1))(out)
-        out = nn.BatchNorm(use_running_average=self.use_running_average)(out)
+        out = nn.Conv(c, (1, 1), dtype=jnp.bfloat16)(out)
+        out = nn.BatchNorm(use_running_average=self.use_running_average,
+                           dtype=jnp.bfloat16)(out)
         out = nn.relu(out)
         return ELAN2D(c, self.use_running_average)(out)
 

@@ -25,26 +25,35 @@ def bilinear_sample_flat(images: jnp.ndarray, batch_idx: jnp.ndarray,
     images: [B*H*W, C] flattened; batch_idx: int32 [N]; uv: [N, 2] pixel
     coords (align_corners=True convention: uv in [0, size-1] maps exactly
     onto pixel centers). Returns [N, C].
+
+    Uses a quad-row table (all 4 bilinear corners in one gathered row):
+    HBM gathers cost ~15 ns/row regardless of width up to the 128-lane tile,
+    so 1 gather of 4C lanes beats 4 gathers of C lanes ~4x. Rolling wraps
+    across row/image boundaries, but those corners always carry zero weight
+    (the in-bounds test masks them).
     """
+    c = images.shape[-1]
+    quad = jnp.concatenate(
+        [images, jnp.roll(images, -1, axis=0), jnp.roll(images, -w, axis=0),
+         jnp.roll(images, -(w + 1), axis=0)], axis=1)  # [BHW, 4C]
     u, v = uv[..., 0], uv[..., 1]
     u0 = jnp.floor(u)
     v0 = jnp.floor(v)
     du = u - u0
     dv = v - v0
-
-    out = None
+    base = (batch_idx * (h * w)
+            + jnp.clip(v0, 0, h - 1).astype(jnp.int32) * w
+            + jnp.clip(u0, 0, w - 1).astype(jnp.int32))
+    g = quad[base]  # [N, 4C]
+    ws = []
     for cy, cx in ((0, 0), (0, 1), (1, 0), (1, 1)):
         px = u0 + cx
         py = v0 + cy
         wgt = ((du if cx else 1 - du) * (dv if cy else 1 - dv))
         inb = (px >= 0) & (px <= w - 1) & (py >= 0) & (py <= h - 1)
-        pxi = jnp.clip(px, 0, w - 1).astype(jnp.int32)
-        pyi = jnp.clip(py, 0, h - 1).astype(jnp.int32)
-        flat = batch_idx * (h * w) + pyi * w + pxi
-        samp = images[flat]  # [N, C]
-        term = samp * (wgt * inb)[..., None]
-        out = term if out is None else out + term
-    return out
+        ws.append(jnp.where(inb, wgt, 0.0).astype(images.dtype))
+    return (g[:, :c] * ws[0][..., None] + g[:, c:2 * c] * ws[1][..., None]
+            + g[:, 2 * c:3 * c] * ws[2][..., None] + g[:, 3 * c:] * ws[3][..., None])
 
 
 def project_to_views(coords: jnp.ndarray, valid: jnp.ndarray, origin: jnp.ndarray,
@@ -120,6 +129,12 @@ def back_project_window(dim, interval: int, origin: jnp.ndarray,
     def body(carry, view_in):
         total, count = carry
         img, pm = view_in  # [HW, C] bf16, [4, 4]
+        # quad-row table: one gathered row holds all 4 bilinear corners
+        # (HBM gathers cost ~15 ns/row regardless of width up to the 128-lane
+        # tile, so 1 gather of 4C lanes beats 4 gathers of C lanes ~4x)
+        quad = jnp.concatenate(
+            [img, jnp.roll(img, -1, axis=0), jnp.roll(img, -w, axis=0),
+             jnp.roll(img, -(w + 1), axis=0)], axis=1)  # [HW, 4C]
         cam = pts @ pm.T
         z = cam[:, 2]
         safe_z = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
@@ -128,19 +143,20 @@ def back_project_window(dim, interval: int, origin: jnp.ndarray,
         m = (u >= 0) & (u <= w - 1) & (v >= 0) & (v <= h - 1) & (z > 0)
         u0 = jnp.floor(u)
         v0 = jnp.floor(v)
-        du = (u - u0).astype(jnp.bfloat16)
-        dv = (v - v0).astype(jnp.bfloat16)
-        s = None
+        du = u - u0
+        dv = v - v0
+        base = (jnp.clip(v0, 0, h - 1).astype(jnp.int32) * w
+                + jnp.clip(u0, 0, w - 1).astype(jnp.int32))
+        g = quad[base]  # [N, 4C]
+        ws = []
         for cy, cx in ((0, 0), (0, 1), (1, 0), (1, 1)):
             px = u0 + cx
             py = v0 + cy
             wgt = ((du if cx else 1 - du) * (dv if cy else 1 - dv))
             inb = (px >= 0) & (px <= w - 1) & (py >= 0) & (py <= h - 1)
-            pxi = jnp.clip(px, 0, w - 1).astype(jnp.int32)
-            pyi = jnp.clip(py, 0, h - 1).astype(jnp.int32)
-            term = img[pyi * w + pxi] * jnp.where(inb, wgt, 0)[:, None]
-            s = term if s is None else s + term
-        s = s * m[:, None].astype(jnp.bfloat16)
+            ws.append(jnp.where(inb & m, wgt, 0.0).astype(jnp.bfloat16))
+        s = (g[:, :c] * ws[0][:, None] + g[:, c:2 * c] * ws[1][:, None]
+             + g[:, 2 * c:3 * c] * ws[2][:, None] + g[:, 3 * c:] * ws[3][:, None])
         return (total + s, count + m.astype(jnp.float32)), None
 
     init = (jnp.zeros((n, c), jnp.bfloat16), jnp.zeros(n, jnp.float32))
