@@ -36,9 +36,18 @@ def main():
     cfg = default_config()
     n_views = cfg.train.n_views
 
-    d = make_fragment(n_views=n_views, image_hw=(480, 640),
-                      n_vox=cfg.model.n_vox, voxel_size=cfg.model.voxel_size,
-                      seed=0)
+    frag_cache = os.path.expanduser("~/.cache/eprecon_bench_fragment.npz")
+    if os.path.exists(frag_cache):
+        z = np.load(frag_cache)
+        d = {k: z[k] for k in z.files}
+    else:
+        d = make_fragment(n_views=n_views, image_hw=(480, 640),
+                          n_vox=cfg.model.n_vox,
+                          voxel_size=cfg.model.voxel_size, seed=0)
+        np.savez_compressed(frag_cache, imgs=d["imgs"],
+                            proj_matrices=d["proj_matrices"],
+                            vol_origin_partial=d["vol_origin_partial"],
+                            world_to_aligned_camera=d["world_to_aligned_camera"])
     frag = FragmentInputs(
         proj_matrices=jnp.asarray(d["proj_matrices"]),
         vol_origin_partial=jnp.asarray(d["vol_origin_partial"]),

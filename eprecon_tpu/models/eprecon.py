@@ -110,6 +110,41 @@ class SparseConvResidual(nn.Module):
         return dense3d._mask3(out, mask)
 
 
+def nearest_fine_in_cell(row_table: jnp.ndarray, coarse_coords: jnp.ndarray,
+                         stride: int) -> jnp.ndarray:
+    """Nearest active fine voxel per coarse voxel, exploiting cell alignment.
+
+    The panoptic cross-scale gating keeps a coarse voxel only if a fine
+    active voxel exists inside its stride^3 cell, so the reference's exact
+    NN over all fine voxels (mask3dformer.py:358-369 cdist+argmin — ~400 ms
+    at full scale) reduces to ONE gather over a cell-grouped index table:
+    candidates are ordered by in-cell distance to the coarse voxel's corner
+    and the first present one wins.
+
+    row_table: [X, Y, Z] int32 fine-voxel row per cell (-1 empty);
+    coarse_coords: [K, 3] fine-unit coords (multiples of stride).
+    Returns [K] int32 rows into the fine set (0 where none — callers mask).
+    """
+    x, y, z = row_table.shape
+    s = stride
+    # group sub-cells into lanes: [X/s, Y/s, Z/s, s^3]
+    t = row_table.reshape(x // s, s, y // s, s, z // s, s)
+    t = t.transpose(0, 2, 4, 1, 3, 5).reshape((x // s) * (y // s) * (z // s),
+                                              s ** 3)
+    # order sub-cells by distance to the cell corner (the coarse position)
+    deltas = np.stack(np.meshgrid(*([np.arange(s)] * 3), indexing="ij"),
+                      -1).reshape(-1, 3)
+    order = np.argsort((deltas ** 2).sum(1), kind="stable")
+    t = t[:, jnp.asarray(order)]
+    p = coarse_coords // s
+    flat = (p[:, 0] * (y // s) + p[:, 1]) * (z // s) + p[:, 2]
+    flat = jnp.clip(flat, 0, t.shape[0] - 1)
+    cand = t[flat]  # [K, s^3]
+    first = jnp.argmax((cand >= 0).astype(jnp.int32), axis=1)
+    row = jnp.take_along_axis(cand, first[:, None], axis=1)[:, 0]
+    return jnp.maximum(row, 0)
+
+
 def aligned_coord_features(dim: Tuple[int, int, int], interval: int,
                            voxel_size: float, origin_partial: jnp.ndarray,
                            world_to_aligned: jnp.ndarray) -> jnp.ndarray:
@@ -334,6 +369,17 @@ class EPReconCore(nn.Module):
         outputs["valid"] = fine_sv.valid
         outputs["overflow"] = overflow + ovf
 
+        # O(1) nearest-fine rows via cell alignment (see nearest_fine_in_cell)
+        fine_rows = sp.sparse_to_dense(
+            fine_sv.coords[:, 1:],
+            jnp.arange(fine_sv.coords.shape[0], dtype=jnp.float32)[:, None],
+            fine_sv.valid, tuple(cfg.n_vox), default=-1.0)[..., 0].astype(jnp.int32)
+        mask_idx = [
+            nearest_fine_in_cell(fine_rows, lvl_coords[0], 4),
+            nearest_fine_in_cell(fine_rows, lvl_coords[1], 2),
+            jnp.arange(fine_sv.coords.shape[0], dtype=jnp.int32),
+        ]
+
         dec = MaskedTransformerDecoder(
             num_classes=cfg.panoptic.num_classes,
             hidden_dim=pano_ch, num_queries=cfg.panoptic.num_queries,
@@ -341,7 +387,7 @@ class EPReconCore(nn.Module):
             dim_feedforward=pano_ch * cfg.panoptic.dim_feedforward_mult,
             dec_layers=cfg.panoptic.dec_layers, name="panoptic")
         dec_out = dec(lvl_feats, lvl_coords, lvl_valid, mask_feats,
-                      tuple(cfg.n_vox))
+                      tuple(cfg.n_vox), mask_idx=mask_idx)
         outputs["pred_logits"] = dec_out.pred_logits[-1]
         outputs["pred_masks"] = dec_out.pred_masks[-1]
         outputs["panoptic_coords"] = fine_sv.coords

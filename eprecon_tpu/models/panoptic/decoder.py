@@ -111,7 +111,8 @@ class MaskedTransformerDecoder(nn.Module):
                  level_coords: Sequence[jnp.ndarray],
                  level_valid: Sequence[jnp.ndarray],
                  mask_features: jnp.ndarray,
-                 spatial_shape: Tuple[int, int, int]) -> DecoderOutputs:
+                 spatial_shape: Tuple[int, int, int],
+                 mask_idx: Optional[Sequence[jnp.ndarray]] = None) -> DecoderOutputs:
         """
         Args:
           level_feats: per level [K_p, C] voxel features (coarse→fine order
@@ -119,6 +120,9 @@ class MaskedTransformerDecoder(nn.Module):
           level_coords: per level [K_p, 3] fine-unit voxel coords.
           level_valid: per level [K_p] bool.
           mask_features: [K_fine, C] (fine level).
+          mask_idx: optional precomputed nearest-fine-voxel row per level
+            (see eprecon.nearest_fine_in_cell — O(1) when levels are
+            cell-aligned); falls back to exact chunked NN otherwise.
         """
         c = self.hidden_dim
         q = self.num_queries
@@ -137,11 +141,12 @@ class MaskedTransformerDecoder(nn.Module):
 
         # nearest-fine-voxel gather indices per level (reference :358-369)
         fine_c, fine_v = level_coords[-1], level_valid[-1]
-        mask_idx = [
-            nearest_fine_index(level_coords[0], level_valid[0], fine_c, fine_v),
-            nearest_fine_index(level_coords[1], level_valid[1], fine_c, fine_v),
-            jnp.arange(fine_c.shape[0], dtype=jnp.int32),
-        ]
+        if mask_idx is None:
+            mask_idx = [
+                nearest_fine_index(level_coords[0], level_valid[0], fine_c, fine_v),
+                nearest_fine_index(level_coords[1], level_valid[1], fine_c, fine_v),
+                jnp.arange(fine_c.shape[0], dtype=jnp.int32),
+            ]
 
         decoder_norm = nn.LayerNorm(name="decoder_norm")
         class_embed = nn.Dense(self.num_classes + 1, name="class_embed")
