@@ -45,6 +45,8 @@ class PanopticConfig:
     no_object_weight: float = 0.1
     # static capacity of GT instances per fragment (reference uses dynamic lists)
     max_instances: int = 48
+    # GT instances smaller than this are dropped (reference criterion.py:237)
+    min_instance_voxels: int = 100
     # ids 1..2 are stuff (wall/floor), 3..20 things
     # (reference: models/mask3dformer.py:519, models/gru_fusion.py:135)
     stuff_ids: Tuple[int, ...] = (1, 2)

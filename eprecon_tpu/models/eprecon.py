@@ -402,7 +402,8 @@ class EPReconCore(nn.Module):
             sup = fine_sv.valid & occ_t_v
             ptargets = build_targets(jnp.where(sup, sem_v, 0).astype(jnp.int32),
                                      jnp.where(sup, ins_v, 0).astype(jnp.int32),
-                                     sup, cfg.panoptic.max_instances)
+                                     sup, cfg.panoptic.max_instances,
+                                     cfg.panoptic.min_instance_voxels)
             pl = set_criterion(dec_out.pred_logits, dec_out.pred_masks, ptargets,
                                cfg.panoptic.class_weight, cfg.panoptic.mask_weight,
                                cfg.panoptic.dice_weight,

@@ -48,7 +48,8 @@ def nyu40_to_20(labels: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def build_targets(semantic: jnp.ndarray, instance: jnp.ndarray,
-                  voxel_valid: jnp.ndarray, max_instances: int
+                  voxel_valid: jnp.ndarray, max_instances: int,
+                  min_instance_voxels: int = MIN_INSTANCE_VOXELS
                   ) -> PanopticTargets:
     """Per-voxel GT labels → fixed-slot instance targets.
 
@@ -88,7 +89,7 @@ def build_targets(semantic: jnp.ndarray, instance: jnp.ndarray,
 
     mapped, cls_ok = nyu40_to_20(maj_class)
     size = jnp.sum(counts, axis=1)
-    keep = slot_valid & cls_ok & (size > MIN_INSTANCE_VOXELS)
+    keep = slot_valid & cls_ok & (size > min_instance_voxels)
 
     masks = (vox_slot[None, :] == jnp.arange(max_instances)[:, None]) & hit[None, :]
     masks = masks & keep[:, None]

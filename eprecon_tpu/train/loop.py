@@ -71,10 +71,15 @@ def train_epochs(cfg: Config, model, tstate: TrainState, step_fn,
     """Single-stream (one device) training loop. For the mesh-sharded loop,
     batch per-device streams before calling step_fn (see __graft_entry__
     dryrun_multichip for the sharded calling convention)."""
+    from eprecon_tpu.parallel.mesh import is_main_process
+    from eprecon_tpu.utils.logging import SummaryWriter
+
+    writer = SummaryWriter(cfg.logdir) if is_main_process() else None
     epochs = epochs or cfg.train.epochs
     start_epoch = int(tstate.epoch)
     rec = make_recurrent_state(cfg.model)
     scene = None
+    step_count = int(tstate.step)
     global_origin = np.zeros(3, np.float32)
 
     for epoch in range(start_epoch, epochs):
@@ -95,6 +100,11 @@ def train_epochs(cfg: Config, model, tstate: TrainState, step_fn,
             imgs, frag, targets = fragment_to_device_args(cfg, data, global_origin)
             tstate, rec, metrics = step_fn(tstate, imgs, frag, targets, rec)
             meter.update({k: v for k, v in metrics.items()})
+            step_count += 1
+            if writer is not None and step_count % cfg.summary_freq == 0:
+                writer.add_scalars("train",
+                                   {k: float(v) for k, v in metrics.items()},
+                                   step_count)
         means = meter.mean()
         log_fn(f"epoch {epoch}: {means} ({time.time()-t0:.1f}s)")
         tstate = tstate._replace(epoch=jnp.asarray(epoch + 1, jnp.int32))

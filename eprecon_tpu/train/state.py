@@ -80,7 +80,9 @@ def create_train_state(cfg: Config, rng, sample_args,
                        steps_per_epoch: int = 1000) -> Tuple[TrainState, EPRecon]:
     """Initialize model + optimizer from one sample fragment's args."""
     model = EPRecon(cfg.model)
-    variables = model.init(rng, *sample_args)
+    # init under jit: eager init dispatches thousands of ops individually
+    # (minutes through the axon relay)
+    variables = jax.jit(model.init)(rng, *sample_args)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     buffers = variables.get("buffers", {})
