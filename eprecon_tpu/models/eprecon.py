@@ -349,11 +349,13 @@ class EPReconCore(nn.Module):
         for mi in range(3):
             mf = SparseConvResidual(pano_ch, name=f"mask_feat_{mi}")(mf, fine_mask)
 
-        # compact each level to its static capacity for the decoder
+        # compact each level to its static capacity for the decoder; the
+        # fine level packs [pano feats ⊕ mask feats ⊕ tsdf] into ONE
+        # compaction (each full-window gather costs ~8 ms)
         caps = cfg.voxel_capacity
         lvl_feats, lvl_coords, lvl_valid = [], [], []
         overflow = jnp.zeros((), jnp.int32)
-        for p in range(3):
+        for p in range(2):
             stride = 2 ** (n_scales - p)
             svx, ovf = sp.dense_to_sparse(lvl_dense[p], pano_masks[p], caps[p])
             lvl_feats.append(svx.feats)
@@ -361,11 +363,15 @@ class EPReconCore(nn.Module):
             lvl_valid.append(svx.valid)
             overflow = overflow + ovf
         fine_sv, ovf = sp.dense_to_sparse(
-            jnp.concatenate([mf, outputs["tsdf_window"][..., None]], axis=-1),
+            jnp.concatenate([lvl_dense[2], mf,
+                             outputs["tsdf_window"][..., None]], axis=-1),
             pano_masks[2], caps[2])
-        mask_feats = fine_sv.feats[:, :pano_ch]
+        lvl_feats.append(fine_sv.feats[:, :pano_ch])
+        lvl_coords.append(fine_sv.coords[:, 1:])
+        lvl_valid.append(fine_sv.valid)
+        mask_feats = fine_sv.feats[:, pano_ch:2 * pano_ch]
         outputs["coords"] = fine_sv.coords
-        outputs["tsdf"] = fine_sv.feats[:, pano_ch]
+        outputs["tsdf"] = fine_sv.feats[:, 2 * pano_ch]
         outputs["valid"] = fine_sv.valid
         outputs["overflow"] = overflow + ovf
 
