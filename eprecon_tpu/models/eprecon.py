@@ -196,7 +196,8 @@ class EPReconCore(nn.Module):
         init_shape = tuple(v // init_interval for v in cfg.n_vox)  # 48^3
 
         proj_init = frag.proj_matrices[:, None, init_scale]
-        occ_logits, init_mask, init_count = OccupancyInitialization(
+        occ_logits, init_mask, init_count = nn.remat(
+            OccupancyInitialization, static_argnums=(5, 6, 7))(
             use_running_average=self.use_running_average, name="initialization")(
                 f2d, origin_b, cfg.voxel_size, proj_init, init_shape,
                 init_interval, cfg.min_view_number)
@@ -267,9 +268,12 @@ class EPReconCore(nn.Module):
                                         frag.world_to_aligned_camera)
             from eprecon_tpu.models.unet_dense import DenseUNet
 
-            feat3d = DenseUNet(cr=1.0 / 2 ** i, dropout=cfg.sparsereg_dropout,
-                               use_running_average=self.use_running_average,
-                               name=f"sp_conv_{i}")(
+            # remat: recompute 96^3-window activations in the backward pass —
+            # without it the full-scale training step exceeds HBM
+            feat3d = nn.remat(DenseUNet)(
+                cr=1.0 / 2 ** i, dropout=cfg.sparsereg_dropout,
+                use_running_average=self.use_running_average,
+                name=f"sp_conv_{i}")(
                 jnp.concatenate([feat, ac.astype(jnp.bfloat16)], axis=-1),
                 stage_mask)
 
@@ -277,7 +281,7 @@ class EPReconCore(nn.Module):
                                        axis=-1)  # [X,Y,Z, gru_ch] bf16
 
             # GRU fusion over the dense window (reference :406-409)
-            fused, union, new_gmap = DenseGRUFusion(
+            fused, union, new_gmap = nn.remat(DenseGRUFusion)(
                 ch_voxel=channels[i], ch_img=ch_init[i],
                 name=f"gru_fusion_{i}")(
                     feat_all, stage_mask, state.gmaps[i], frag.rel_origins[i])
@@ -386,7 +390,7 @@ class EPReconCore(nn.Module):
             jnp.arange(fine_sv.coords.shape[0], dtype=jnp.int32),
         ]
 
-        dec = MaskedTransformerDecoder(
+        dec = nn.remat(MaskedTransformerDecoder, static_argnums=(5,))(
             num_classes=cfg.panoptic.num_classes,
             hidden_dim=pano_ch, num_queries=cfg.panoptic.num_queries,
             num_heads=cfg.panoptic.nheads,
@@ -439,10 +443,10 @@ class EPRecon(nn.Module):
         """imgs: [V, H, W, 3] BGR float; returns (outputs, losses, state)."""
         x = self.normalize(imgs)
         alpha = self.cfg.backbone2d.alpha
-        feats2d = MnasMulti(alpha, self.use_running_average,
-                            name="backbone2d")(x)
-        feats_op = MnasMulti(alpha, self.use_running_average,
-                             name="backbone_occ_pano")(x)
+        feats2d = nn.remat(MnasMulti)(alpha, self.use_running_average,
+                                      name="backbone2d")(x)
+        feats_op = nn.remat(MnasMulti)(alpha, self.use_running_average,
+                                       name="backbone_occ_pano")(x)
         outputs, losses, new_state = EPReconCore(
             self.cfg, self.use_running_average, name="neucon_net")(
                 feats2d, feats_op, frag, state, targets, only_train_init)
