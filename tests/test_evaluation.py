@@ -1,0 +1,41 @@
+"""Evaluation pipeline: TSDF depth ray-marching + scene metrics."""
+import jax.numpy as jnp
+import numpy as np
+
+from eprecon_tpu.tools.evaluation import render_tsdf_depth, trim_tsdf
+
+
+def _sphere_tsdf(dim=48, voxel=0.05, center=(0.0, 0.0, 1.2), radius=0.5,
+                 origin=(-1.2, -1.2, 0.0)):
+    xs = np.arange(dim) * voxel + origin[0]
+    ys = np.arange(dim) * voxel + origin[1]
+    zs = np.arange(dim) * voxel + origin[2]
+    gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+    d = np.sqrt((gx - center[0]) ** 2 + (gy - center[1]) ** 2
+                + (gz - center[2]) ** 2) - radius
+    return np.clip(d / (3 * voxel), -1, 1).astype(np.float32), np.array(origin)
+
+
+def test_render_tsdf_depth_sphere():
+    tsdf, origin = _sphere_tsdf()
+    k = np.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]], np.float32)
+    pose = np.eye(4, dtype=np.float32)  # camera at origin, +z towards sphere
+    depth = np.asarray(render_tsdf_depth(
+        jnp.asarray(tsdf), jnp.asarray(origin), 0.05, jnp.asarray(k),
+        jnp.asarray(pose), hw=(48, 64), max_depth=4.0))
+    # the on-axis sphere front face is at z = 1.2 - 0.5 = 0.7
+    center_d = depth[24, 32]
+    assert abs(center_d - 0.7) < 0.08, center_d
+    c = depth[depth > 0]
+    assert len(c) > 50  # sphere visible
+    # corner rays miss
+    assert depth[0, 0] == 0 and depth[-1, -1] == 0
+
+
+def test_trim_tsdf_roundtrip():
+    k = np.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]], np.float32)
+    pose = np.eye(4, dtype=np.float32)
+    depth = np.full((48, 64), 1.5, np.float32)
+    t, w = trim_tsdf([depth], [k], [pose], np.array([-1.0, -1.0, 0.0]),
+                     (32, 32, 32), 0.08)
+    assert (np.abs(t) < 1).any()
