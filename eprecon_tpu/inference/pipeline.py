@@ -13,7 +13,7 @@ single jitted program.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +21,7 @@ import numpy as np
 
 from eprecon_tpu.config import Config
 from eprecon_tpu.models.eprecon import (EPRecon, FragmentInputs,
-                                        RecurrentState, make_recurrent_state)
+                                        make_recurrent_state)
 from eprecon_tpu.models.gru_fusion import PanopticGlobalDense, fuse_tsdf_direct
 from eprecon_tpu.models.panoptic.post import panoptic_inference
 from eprecon_tpu.ops import sparse as sp

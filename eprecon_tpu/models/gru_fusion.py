@@ -19,7 +19,7 @@ scene changes host-side, checkpointable, shardable across the data mesh.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import flax.linen as nn
 import jax

@@ -22,8 +22,6 @@ coarser levels.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

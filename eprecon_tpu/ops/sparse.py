@@ -22,7 +22,6 @@ mask into the leading slots when a fresh capacity is needed.
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax

@@ -17,11 +17,8 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from flax.core import FrozenDict
-
 from eprecon_tpu.config import Config
-from eprecon_tpu.models.eprecon import (EPRecon, FragmentInputs, FragmentTargets,
-                                        RecurrentState)
+from eprecon_tpu.models.eprecon import EPRecon
 
 
 class TrainState(NamedTuple):
