@@ -84,9 +84,29 @@ def main():
     float(tsdf.reshape(-1)[0])
     ms = (time.perf_counter() - t0) * 1e3 / iters
     kfps = n_views / (ms / 1e3)
+
+    # p50 fragment latency: time individual fragments with a completion
+    # readback each, then subtract the measured relay readback floor
+    # (a scalar fetch through the axon tunnel costs ~30 ms, PERF_NOTES.md)
+    lats = []
+    for i in range(10):
+        t0 = time.perf_counter()
+        tsdf, masks, state = fwd(variables, imgs, frag, state)
+        float(tsdf.reshape(-1)[i])
+        lats.append(time.perf_counter() - t0)
+    relays = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        float(tsdf.reshape(-1)[100 + i])  # fresh fetch of a ready buffer
+        relays.append(time.perf_counter() - t0)
+    import statistics
+
+    p50_ms = (statistics.median(lats) - statistics.median(relays)) * 1e3
+
     print(json.dumps({"metric": "keyframes_per_sec",
                       "value": round(kfps, 2), "unit": "kf/s",
-                      "vs_baseline": round(kfps / 33.0, 3)}))
+                      "vs_baseline": round(kfps / 33.0, 3),
+                      "p50_fragment_latency_ms": round(p50_ms, 1)}))
 
 
 if __name__ == "__main__":

@@ -108,19 +108,34 @@ class ScanNetDataset:
         self.cache[scene] = full
         return full
 
-    def __getitem__(self, idx: int) -> dict:
+    def image_paths(self, idx: int):
+        """(color_paths, depth_paths) of fragment idx — the submit side of
+        the native prefetching loader (data/native_loader.py)."""
         meta = self.metas[idx]
         scene = meta["scene"]
-        imgs, depths, intrinsics, poses = [], [], [], []
-        for vid in meta["image_ids"]:
-            imgs.append(self._read_img(
-                os.path.join(self.source_path, scene, "color", f"{vid}.jpg")))
-            depths.append(self._read_depth(
-                os.path.join(self.source_path, scene, "depth", f"{vid}.png")))
-            intr, pose = self._read_cam(scene, vid)
-            intrinsics.append(intr)
-            poses.append(pose)
+        imgs = [os.path.join(self.source_path, scene, "color", f"{v}.jpg")
+                for v in meta["image_ids"]]
+        depths = [os.path.join(self.source_path, scene, "depth", f"{v}.png")
+                  for v in meta["image_ids"]]
+        return imgs, depths
 
+    def _color_size(self, scene: str, vid) -> tuple:
+        """Original (h, w) of a scene's color frames (header read, cached) —
+        needed to adjust intrinsics for natively pre-resized images."""
+        if not hasattr(self, "_size_cache"):
+            self._size_cache = {}
+        if scene not in self._size_cache:
+            from PIL import Image
+
+            with Image.open(os.path.join(self.source_path, scene, "color",
+                                         f"{vid}.jpg")) as im:
+                w, h = im.size
+            self._size_cache[scene] = (h, w)
+        return self._size_cache[scene]
+
+    def _build_sample(self, idx: int, imgs, depths, intrinsics, poses) -> dict:
+        meta = self.metas[idx]
+        scene = meta["scene"]
         vols = self._read_scene_volumes(scene)
         data = dict(
             imgs=imgs, depth=depths, intrinsics=intrinsics, extrinsics=poses,
@@ -133,3 +148,47 @@ class ScanNetDataset:
         if self.transforms is not None:
             data = self.transforms(data)
         return data
+
+    def getitem_decoded(self, idx: int, imgs: np.ndarray,
+                        depths: np.ndarray) -> dict:
+        """Build a sample from natively pre-decoded images.
+
+        imgs [V, out_h, out_w, 3] f32 BGR (ScanNet pad + resize already
+        applied by the C++ loader); depths [V, out_h, out_w] f32 meters.
+        Intrinsics get the same pad+rescale the python ResizeImage path
+        applies (reference datasets/transforms.py:83-116), computed from the
+        original color size, so the downstream transform chain is a no-op on
+        geometry.
+        """
+        meta = self.metas[idx]
+        scene = meta["scene"]
+        out_h, out_w = imgs.shape[1:3]
+        h0, w0 = self._color_size(scene, meta["image_ids"][0])
+        intrinsics, poses = [], []
+        for vid in meta["image_ids"]:
+            intr, pose = self._read_cam(scene, vid)
+            intr = intr.copy()
+            h, w = h0, w0
+            if w == 1296 and h == 968:  # pad_scannet
+                intr[1, 2] += 2
+                h = 972
+            intr[0, :] /= w / out_w
+            intr[1, :] /= h / out_h
+            intrinsics.append(intr)
+            poses.append(pose)
+        return self._build_sample(idx, list(imgs), list(depths), intrinsics,
+                                  poses)
+
+    def __getitem__(self, idx: int) -> dict:
+        meta = self.metas[idx]
+        scene = meta["scene"]
+        imgs, depths, intrinsics, poses = [], [], [], []
+        for vid in meta["image_ids"]:
+            imgs.append(self._read_img(
+                os.path.join(self.source_path, scene, "color", f"{vid}.jpg")))
+            depths.append(self._read_depth(
+                os.path.join(self.source_path, scene, "depth", f"{vid}.png")))
+            intr, pose = self._read_cam(scene, vid)
+            intrinsics.append(intr)
+            poses.append(pose)
+        return self._build_sample(idx, imgs, depths, intrinsics, poses)

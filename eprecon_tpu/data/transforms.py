@@ -174,6 +174,15 @@ class RandomTransformSpace:
         intr = np.stack(data["intrinsics"]).astype(np.float32)
         poses = np.stack(data["extrinsics"]).astype(np.float32)
 
+        # intrinsics correspond to the (resized) color frames; rescale to the
+        # depth resolution for fusion. Identity on ScanNet (depth is already
+        # 640x480 == the resize target), required for other sources.
+        ih, iw = data["imgs"][0].shape[:2]
+        dh, dw = depths.shape[1:3]
+        if (dh, dw) != (ih, iw):
+            s = np.diag([dw / iw, dh / ih, 1.0]).astype(np.float32)
+            intr = np.einsum("ij,vjk->vik", s, intr)
+
         # partial GT by on-the-fly fusion per level (reference :281-298),
         # jitted on device instead of the torch CPU loop
         data["tsdf_list"], data["occ_list"] = [], []

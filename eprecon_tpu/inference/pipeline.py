@@ -36,6 +36,9 @@ class SceneResult:
     tsdf: np.ndarray          # [X, Y, Z]
     instance: np.ndarray      # [X, Y, Z] int32
     semantic: np.ndarray      # [X, Y, Z] int32
+    # total voxels dropped by capacity compaction over the scene (the
+    # reference warns + aborts at 1.5x cap, neucon_network.py:462-484)
+    overflow: int = 0
 
 
 class StreamingReconstructor:
@@ -47,6 +50,7 @@ class StreamingReconstructor:
         self.variables = variables
         self.scene_name: Optional[str] = None
         self.global_origin: Optional[np.ndarray] = None
+        self.last_losses = {}
         self._reset_state()
         # donate the recurrent/global state so volume updates are in-place
         self._fwd = jax.jit(self._forward, donate_argnums=(3, 4))
@@ -55,10 +59,16 @@ class StreamingReconstructor:
         self.rec_state = make_recurrent_state(self.cfg.model)
         self.pmap_state = PanopticGlobalDense.empty(
             tuple(self.cfg.model.global_extent))
+        # device-side overflow scalars, read back once per scene (a per-
+        # fragment scalar readback costs ~30 ms through the relay)
+        self._overflows = []
 
-    def _forward(self, variables, imgs, frag, rec_state, pmap_state):
-        (outputs, _, new_rec), _ = self.model.apply(
-            variables, imgs, frag, rec_state, None, mutable=["batch_stats"])
+    def _forward(self, variables, imgs, frag, rec_state, pmap_state,
+                 targets=None):
+        # losses are computed against GT when targets are provided, exactly
+        # as the reference test loop does (reference main.py:375-401)
+        (outputs, losses, new_rec), _ = self.model.apply(
+            variables, imgs, frag, rec_state, targets, mutable=["batch_stats"])
         seg = panoptic_inference(outputs["pred_logits"], outputs["pred_masks"],
                                  outputs["panoptic_valid"])
         # scatter per-voxel segment ids back into the fragment window
@@ -69,13 +79,13 @@ class StreamingReconstructor:
             pmap_state, outputs["tsdf_window"], outputs["occupancy"],
             seg_window, seg.seg_class, seg.seg_isthing, seg.seg_valid,
             frag.rel_origins[-1])
-        return outputs, new_rec, new_pmap
+        return outputs, losses, new_rec, new_pmap
 
     def process_fragment(self, scene: str, imgs: np.ndarray,
                          proj_matrices: np.ndarray, vol_origin: np.ndarray,
                          vol_origin_partial: np.ndarray,
-                         world_to_aligned_camera: np.ndarray
-                         ) -> Optional[SceneResult]:
+                         world_to_aligned_camera: np.ndarray,
+                         targets=None) -> Optional[SceneResult]:
         """Feed one fragment. Returns the finished previous scene when the
         scene name changes (reference gru_fusion.py:280-286), else None."""
         finished = None
@@ -99,9 +109,11 @@ class StreamingReconstructor:
         frag = FragmentInputs(
             jnp.asarray(proj_matrices), jnp.asarray(vol_origin_partial),
             jnp.asarray(world_to_aligned_camera), jnp.asarray(np.stack(rel)))
-        outputs, self.rec_state, self.pmap_state = self._fwd(
+        outputs, losses, self.rec_state, self.pmap_state = self._fwd(
             self.variables, jnp.asarray(imgs), frag, self.rec_state,
-            self.pmap_state)
+            self.pmap_state, targets)
+        self._overflows.append(outputs["overflow"])
+        self.last_losses = losses  # device scalars; caller reads them lazily
         return finished
 
     def flush(self) -> Optional[SceneResult]:
@@ -118,5 +130,12 @@ class StreamingReconstructor:
         vol_i = np.asarray(pm.instance)[sl]
         vol_s = np.asarray(pm.semantic)[sl]
         origin = self.global_origin + lo * self.cfg.model.voxel_size
+        ovf = int(np.asarray(jnp.stack(self._overflows)).sum()) \
+            if self._overflows else 0
         return SceneResult(self.scene_name, origin, self.cfg.model.voxel_size,
-                           vol_t, vol_i, vol_s)
+                           vol_t, vol_i, vol_s, overflow=ovf)
+
+    def snapshot(self) -> Optional[SceneResult]:
+        """Current in-progress scene, without ending it — backs the
+        save_incremental per-fragment export (reference utils.py:318-360)."""
+        return self.flush()

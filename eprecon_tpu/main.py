@@ -36,28 +36,25 @@ def run_train(cfg):
 
     from eprecon_tpu.data.sampler import ContiguousDistributedSampler
     from eprecon_tpu.models.eprecon import make_recurrent_state
-    from eprecon_tpu.parallel.mesh import initialize_distributed, is_main_process
+    from eprecon_tpu.parallel.mesh import initialize_distributed, make_mesh
     from eprecon_tpu.train import checkpoint as ckpt
-    from eprecon_tpu.train.loop import train_epochs
-    from eprecon_tpu.train.state import (create_train_state, make_optimizer,
-                                         make_train_step)
+    from eprecon_tpu.train.loop import (fragment_to_device_args, _scene_origin,
+                                        train_epochs, train_epochs_sharded)
+    from eprecon_tpu.train.state import create_train_state, make_train_step
 
     initialize_distributed()
     dataset = build_dataset(cfg, "train")
-    steps_per_epoch = max(len(dataset), 1)
+    n_devices = jax.device_count()
+    steps_per_epoch = max(len(dataset) // max(n_devices, 1), 1)
 
     # init from the first sample
-    from eprecon_tpu.train.loop import fragment_to_device_args
-    import numpy as np
-
     sample = dataset[0]
-    half = (np.asarray(cfg.model.global_extent) * cfg.model.voxel_size / 2)
-    gorigin = np.asarray(sample["vol_origin"], np.float32) - half.astype(np.float32)
-    imgs, frag, targets = fragment_to_device_args(cfg, sample, gorigin)
+    imgs, frag, targets = fragment_to_device_args(cfg, sample,
+                                                  _scene_origin(cfg, sample))
     rec = make_recurrent_state(cfg.model)
-    tstate, model = create_train_state(cfg, jax.random.PRNGKey(cfg.seed),
-                                       (imgs, frag, rec, targets),
-                                       steps_per_epoch)
+    tstate, model, tx = create_train_state(cfg, jax.random.PRNGKey(cfg.seed),
+                                           (imgs, frag, rec, targets),
+                                           steps_per_epoch)
 
     if cfg.resume:
         latest = ckpt.latest_checkpoint(cfg.logdir)
@@ -67,17 +64,37 @@ def run_train(cfg):
     elif cfg.loadckpt:
         tstate = ckpt.restore_checkpoint(cfg.loadckpt, tstate)
 
-    tx = make_optimizer(cfg, steps_per_epoch)
-    step_fn = make_train_step(model, tx, cfg)
+    if n_devices > 1 and len(dataset) >= n_devices:
+        # data-parallel mesh: one contiguous scene stream per device
+        # (reference main.py:155-162 DDP + datasets/sampler.py)
+        mesh = make_mesh(n_devices)
+        step_fn = make_train_step(model, tx, cfg, mesh=mesh)
+        train_epochs_sharded(cfg, model, tstate, step_fn, dataset, n_devices)
+        return
 
+    step_fn = make_train_step(model, tx, cfg)
     sampler = ContiguousDistributedSampler(len(dataset), 1, 0)
+    prefetcher = _make_prefetcher(cfg, dataset, cfg.train.n_workers)
 
     def iter_epoch(epoch):
         dataset.epoch = epoch
-        for i in sampler:
-            yield dataset[i]
+        if prefetcher is not None:
+            yield from prefetcher.iterate(list(sampler))
+        else:
+            for i in sampler:
+                yield dataset[i]
 
     train_epochs(cfg, model, tstate, step_fn, iter_epoch)
+
+
+def _make_prefetcher(cfg, dataset, n_workers: int):
+    """Native decode-ahead loader (reference main.py:130-151 num_workers
+    analogue); None when disabled or the dataset has no path API."""
+    if n_workers <= 0 or not hasattr(dataset, "image_paths"):
+        return None
+    from eprecon_tpu.data.prefetch import FragmentPrefetcher
+
+    return FragmentPrefetcher(dataset, n_threads=n_workers)
 
 
 def run_test(cfg):
@@ -101,13 +118,19 @@ def run_test(cfg):
         variables = {"params": restored["params"],
                      **restored.get("batch_stats", {})}
     recon = StreamingReconstructor(cfg, variables)
+    prefetcher = _make_prefetcher(cfg, dataset, cfg.test.n_workers)
 
     def iter_all():
-        for i in range(len(dataset)):
-            yield dataset[i]
+        if prefetcher is not None:
+            yield from prefetcher.iterate(range(len(dataset)))
+        else:
+            for i in range(len(dataset)):
+                yield dataset[i]
 
     out_dir = os.path.join(cfg.logdir, "scenes")
-    evaluate(cfg, recon, iter_all(), out_dir=out_dir)
+    gt_dir = os.path.join(cfg.test.path, "all_tsdf_9")
+    evaluate(cfg, recon, iter_all(), out_dir=out_dir,
+             gt_dir=gt_dir if os.path.isdir(gt_dir) else None)
 
 
 def main(argv=None):

@@ -93,10 +93,10 @@ class Linear4xTrans(nn.Module):
     def __call__(self, x):
         c_in = x.shape[-1]
         out = nn.Dense(c_in * 4, kernel_init=nn.initializers.xavier_uniform())(x)
-        out = nn.LayerNorm()(out)
+        out = nn.LayerNorm(epsilon=1e-5)(out)
         out = nn.relu(out)
         out = nn.Dense(c_in, kernel_init=nn.initializers.xavier_uniform())(out)
-        out = nn.LayerNorm()(out)
+        out = nn.LayerNorm(epsilon=1e-5)(out)
         out = nn.relu(out)
         out2 = nn.Dense(self.features_out, kernel_init=nn.initializers.xavier_uniform())(out)
         if c_in == self.features_out:
@@ -110,7 +110,7 @@ class LinearResidual(nn.Module):
     def __call__(self, x):
         out = nn.Dense(x.shape[-1])(x)
         out = nn.relu(out)
-        return nn.LayerNorm()(x + out)
+        return nn.LayerNorm(epsilon=1e-5)(x + out)
 
 
 class MLP(nn.Module):

@@ -22,12 +22,47 @@ def _mask3(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return x * mask[..., None].astype(x.dtype)
 
 
+class ShiftedConv3d(nn.Module):
+    """3D conv decomposed into 3 shifted 2D convs (batch = the x axis).
+
+    Same math and parameter layout as nn.Conv with a [3,3,3,Cin,Cout] kernel,
+    but ~2.1x faster on v5e at 96^3 with small channel counts (measured
+    2.21 ms vs 4.58 ms at 24→24ch): XLA's 2D conv path with a 96-deep batch
+    tiles the MXU far better than its 3D path at these shapes.
+    Input [B, X, Y, Z, Cin] → output [B, X, Y, Z, Cout].
+    """
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.xavier_uniform(),
+                            (3, 3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        b, gx, gy, gz, _ = x.shape
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        xd = xp.astype(self.dtype)
+        kd = kernel.astype(self.dtype)
+        total = None
+        for dx in range(3):
+            tap = xd[:, dx:dx + gx].reshape(b * gx, gy, gz, cin)
+            y = jax.lax.conv_general_dilated(
+                tap, kd[dx], (1, 1), "SAME",
+                dimension_numbers=("NXYC", "XYIO", "NXYC"))
+            total = y if total is None else total + y
+        total = total + bias.astype(self.dtype)
+        return total.reshape(b, gx, gy, gz, self.features)
+
+
 class SubMConv3dDense(nn.Module):
     """Masked dense 3D conv == spconv SubMConv3d on the active set.
 
     x: [X, Y, Z, Cin] (or batched [..., X, Y, Z, Cin]); mask: [X, Y, Z] bool.
     Xavier-uniform weights + zero bias (reference models/modules.py:256-258).
-    Computes in bf16 (params stay f32) — the MXU fast path.
+    Computes in bf16 (params stay f32) — the MXU fast path. ks=3 runs the
+    shifted-2D decomposition (see ShiftedConv3d); the parameter tree is
+    identical to nn.Conv ('Conv_0/{kernel, bias}').
     """
     features: int
     kernel: int = 3
@@ -39,9 +74,13 @@ class SubMConv3dDense(nn.Module):
         batched = x.ndim == 5
         if not batched:
             x = x[None]
-        y = nn.Conv(self.features, (self.kernel,) * 3, padding="SAME",
-                    dtype=self.dtype,
-                    kernel_init=nn.initializers.xavier_uniform())(x)
+        if self.kernel == 3:
+            y = ShiftedConv3d(self.features, self.dtype, name="Conv_0")(x)
+        else:
+            y = nn.Conv(self.features, (self.kernel,) * 3, padding="SAME",
+                        dtype=self.dtype,
+                        kernel_init=nn.initializers.xavier_uniform(),
+                        name="Conv_0")(x)
         if not batched:
             y = y[0]
         return _mask3(y, mask)
@@ -52,7 +91,7 @@ class MaskedLayerNorm3d(nn.Module):
     channels, so masking is only needed to keep inactive sites at zero)."""
     @nn.compact
     def __call__(self, x, mask):
-        return _mask3(nn.LayerNorm()(x), mask)
+        return _mask3(nn.LayerNorm(epsilon=1e-5)(x), mask)
 
 
 class MaskedBatchNorm3d(nn.Module):
@@ -94,7 +133,7 @@ class SubMConv3dBlockDense(nn.Module):
     @nn.compact
     def __call__(self, x, mask):
         x = SubMConv3dDense(self.features, self.kernel)(x, mask)
-        x = nn.LayerNorm()(x)
+        x = nn.LayerNorm(epsilon=1e-5)(x)
         return _mask3(nn.relu(x), mask)
 
 

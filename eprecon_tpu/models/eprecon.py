@@ -106,7 +106,7 @@ class SparseConvResidual(nn.Module):
         out = dense3d.SubMConv3dDense(self.features, 3)(vol, mask)
         out = nn.relu(out)
         out = vol + out
-        out = nn.LayerNorm()(out)
+        out = nn.LayerNorm(epsilon=1e-5)(out)
         return dense3d._mask3(out, mask)
 
 
@@ -312,6 +312,7 @@ class EPReconCore(nn.Module):
             occupancy = (occ > cfg.thresholds[i]) & union
             n_occ = jnp.sum(occupancy.astype(jnp.int32))
             frag_ok = frag_ok & (n_occ >= cfg.min_stage_voxels)
+            outputs[f"n_occ_{i}"] = n_occ  # reference logs 'no valid points'
 
             pano_feats_dense.append(jnp.where(occupancy[..., None], fused, 0.0))
             pano_masks.append(occupancy)

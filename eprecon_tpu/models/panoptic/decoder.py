@@ -148,7 +148,7 @@ class MaskedTransformerDecoder(nn.Module):
                 jnp.arange(fine_c.shape[0], dtype=jnp.int32),
             ]
 
-        decoder_norm = nn.LayerNorm(name="decoder_norm")
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
         class_embed = nn.Dense(self.num_classes + 1, name="class_embed")
         mask_embed = MLP(c * 4, c, 3, name="mask_embed")
 
@@ -182,15 +182,15 @@ class MaskedTransformerDecoder(nn.Module):
             att = MultiHeadAttention(self.num_heads, name=f"cross_{j}")(
                 output + query_embed, src[lvl] + pos[lvl], src[lvl],
                 attn_mask=amask, key_padding=~level_valid[lvl])
-            output = nn.LayerNorm(name=f"cross_norm_{j}")(output + att)
+            output = nn.LayerNorm(epsilon=1e-5, name=f"cross_norm_{j}")(output + att)
             # self-attention (reference :35-45)
             att = MultiHeadAttention(self.num_heads, name=f"self_{j}")(
                 output + query_embed, output + query_embed, output)
-            output = nn.LayerNorm(name=f"self_norm_{j}")(output + att)
+            output = nn.LayerNorm(epsilon=1e-5, name=f"self_norm_{j}")(output + att)
             # FFN (reference :158-162)
             ff = nn.Dense(self.dim_feedforward, name=f"ffn1_{j}")(output)
             ff = nn.Dense(self.hidden_dim, name=f"ffn2_{j}")(nn.relu(ff))
-            output = nn.LayerNorm(name=f"ffn_norm_{j}")(output + ff)
+            output = nn.LayerNorm(epsilon=1e-5, name=f"ffn_norm_{j}")(output + ff)
 
             ocls, omask, amask = prediction_heads(output, (j + 1) % self.num_levels)
             logits_all.append(ocls)

@@ -9,6 +9,17 @@ All index computation (voxelize, neighbor maps, parent maps, trilinear
 links) is hoisted into a `SparsePlan` built once per point set and reused
 by every conv layer — the JAX analogue of torchsparse's cached kmaps/cmaps.
 Convs themselves are per-offset gather + MXU matmuls.
+
+STATUS — research engine, NOT on the production path. The production model
+(models/eprecon.py) uses the masked dense-window U-Net
+(models/unet_dense.py): at fragment densities (10-60% of a 96^3 window)
+HBM-table gathers (~65 ns/row) make this gather-based engine 100-1000x
+slower on TPU (measured 8.3 s vs ~3 ms for the finest-stage U-Net —
+PERF_NOTES.md). It is kept (a) as the oracle documenting torchsparse-exact
+semantics (tests/test_spvcnn.py proves it equals the dense path on dense-
+filled sets), and (b) as the starting point should scenes ever exceed the
+dense global_extent HBM budget, where a sparse global map becomes the only
+option. Do not wire it into the hot path without re-reading PERF_NOTES.
 """
 from __future__ import annotations
 

@@ -111,12 +111,14 @@ def back_project_window(dim, interval: int, origin: jnp.ndarray,
     feats: [V, 1, H, W, C]; proj: [V, 1, 4, 4].
     Returns (mean feats [X, Y, Z, C] bf16, count [X, Y, Z] f32).
 
-    Views are folded with lax.scan (not an unrolled loop) so XLA reuses one
-    sample buffer instead of keeping V x 4 corner gathers alive — at 96^3 x
-    24ch those are 432 MB each after (8,128) lane padding.
+    Views are UNROLLED: with the quad-row bf16 table XLA fuses each view's
+    gather+bilinear-combine+accumulate into one kernel (~3.2 ms/view at
+    884k voxels), whereas lax.scan peels one iteration whose gather and
+    combine stay unfused through a [884736, 4C] HBM intermediate (+28 ms).
+    Measured on v5e: unroll 28.8 ms vs scan 40.8 ms for 9 views at 96^3.
+    (The OOM the scan originally avoided was with separate f32 4-corner
+    gathers; the fused quad-row form keeps no large intermediates alive.)
     """
-    import jax
-
     from eprecon_tpu.ops.grid import dense_coords
 
     vv, _, h, w, c = feats.shape
@@ -126,9 +128,7 @@ def back_project_window(dim, interval: int, origin: jnp.ndarray,
     flat_imgs = feats[:, 0].reshape(vv, h * w, c).astype(jnp.bfloat16)
     n = pts.shape[0]
 
-    def body(carry, view_in):
-        total, count = carry
-        img, pm = view_in  # [HW, C] bf16, [4, 4]
+    def view_term(img, pm):
         # quad-row table: one gathered row holds all 4 bilinear corners
         # (HBM gathers cost ~15 ns/row regardless of width up to the 128-lane
         # tile, so 1 gather of 4C lanes beats 4 gathers of C lanes ~4x)
@@ -157,10 +157,14 @@ def back_project_window(dim, interval: int, origin: jnp.ndarray,
             ws.append(jnp.where(inb & m, wgt, 0.0).astype(jnp.bfloat16))
         s = (g[:, :c] * ws[0][:, None] + g[:, c:2 * c] * ws[1][:, None]
              + g[:, 2 * c:3 * c] * ws[2][:, None] + g[:, 3 * c:] * ws[3][:, None])
-        return (total + s, count + m.astype(jnp.float32)), None
+        return s, m
 
-    init = (jnp.zeros((n, c), jnp.bfloat16), jnp.zeros(n, jnp.float32))
-    (total, count), _ = jax.lax.scan(body, init, (flat_imgs, proj[:, 0]))
+    total = jnp.zeros((n, c), jnp.bfloat16)
+    count = jnp.zeros(n, jnp.float32)
+    for vi in range(vv):
+        s, m = view_term(flat_imgs[vi], proj[vi, 0])
+        total = total + s
+        count = count + m.astype(jnp.float32)
     mean = total / jnp.maximum(count, 1.0)[:, None].astype(jnp.bfloat16)
     return mean.reshape(*dim, c), count.reshape(dim)
 
@@ -174,26 +178,24 @@ def back_project_variance(coords: jnp.ndarray, valid: jnp.ndarray, origin: jnp.n
     feats: [V, B, H, W, C]; returns (variance [K, C], count [K] float).
     Variance is over visible views: E[(x - mean)^2] with masked mean.
     Computed streaming (sum & sum-of-squares) so the [V, K, C] tensor is
-    never materialized.
+    never materialized. Views are unrolled so gather+combine fuse per view
+    (lax.scan peels an unfused iteration — see back_project_window).
     """
-    import jax
-
     vv, bb, h, w, c = feats.shape
     uv, mask = project_to_views(coords, valid, origin, voxel_size, proj, h, w)
     flat_imgs = feats.reshape(vv, bb * h * w, c)
     b = coords[:, 0]
     n = coords.shape[0]
 
-    def body(carry, view_in):
-        s1, s2, count = carry
-        img, uvv, m = view_in
-        s = bilinear_sample_flat(img, b, uvv, h, w)
-        s = s * m[:, None]
-        return (s1 + s, s2 + s * s, count + m.astype(jnp.float32)), None
-
-    init = (jnp.zeros((n, c), feats.dtype), jnp.zeros((n, c), feats.dtype),
-            jnp.zeros(n, jnp.float32))
-    (s1, s2, count), _ = jax.lax.scan(body, init, (flat_imgs, uv, mask))
+    s1 = jnp.zeros((n, c), feats.dtype)
+    s2 = jnp.zeros((n, c), feats.dtype)
+    count = jnp.zeros(n, jnp.float32)
+    for vi in range(vv):
+        s = bilinear_sample_flat(flat_imgs[vi], b, uv[vi], h, w)
+        s = s * mask[vi][:, None]
+        s1 = s1 + s
+        s2 = s2 + s * s
+        count = count + mask[vi].astype(jnp.float32)
     denom = jnp.maximum(count, 1.0)[:, None].astype(s1.dtype)
     mean = s1 / denom
     # E[x^2] - mean^2 over visible views (masked entries contribute 0 to s2

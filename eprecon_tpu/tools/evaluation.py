@@ -147,6 +147,75 @@ def evaluate_scene(pred_npz: str, gt_mesh_verts: np.ndarray,
     return metrics
 
 
+def evaluate_scene_vs_gt(result, gt_dir: str,
+                         stuff_ids=(1, 2)) -> Dict[str, float]:
+    """Closed-loop scene metrics against generated GT volumes: mesh F-score
+    (eval_mesh protocol, reference tools/evaluation_utils.py:5-42) + native
+    voxel PQ/SQ/RQ.
+
+    result: inference.pipeline.SceneResult; gt_dir: the all_tsdf_9 directory
+    holding <scene>/full_tsdf_layer0.npz (+ label volumes). GT and prediction
+    share the scene world frame (fragment metas carry the GT vol_origin), so
+    volumes are aligned by integer offset.
+    """
+    from eprecon_tpu.inference.mesh_export import marching_cubes
+    from eprecon_tpu.tools.evaluation_utils import eval_mesh, panoptic_quality
+
+    root = os.path.join(gt_dir, result.name)
+    gt_tsdf = np.load(os.path.join(root, "full_tsdf_layer0.npz"),
+                      allow_pickle=True)["arr_0"]
+    info = os.path.join(root, "tsdf_info.npz")
+    if os.path.exists(info):
+        gt_origin = np.load(info)["vol_origin"].astype(np.float32)
+    else:
+        gt_origin = None
+
+    metrics: Dict[str, float] = {}
+    vsz = float(result.voxel_size)
+    if (np.abs(result.tsdf) < 1).any() and (np.abs(gt_tsdf) < 1).any():
+        vp, _, _ = marching_cubes(result.tsdf)
+        verts_pred = vp * vsz + result.origin[None, :]
+        vg, _, _ = marching_cubes(gt_tsdf)
+        if gt_origin is None:
+            # without a recorded origin both meshes can only be compared in
+            # the pred frame; assume GT shares the scene origin of the pred
+            gt_origin = result.origin
+        verts_gt = vg * vsz + gt_origin[None, :]
+        metrics.update(eval_mesh(verts_pred, verts_gt))
+
+    sem_p = os.path.join(root, "full_semantic_layer_interpolate0.npz")
+    ins_p = os.path.join(root, "full_instance_layer_interpolate0.npz")
+    if os.path.exists(sem_p) and os.path.exists(ins_p) and gt_origin is not None:
+        gt_sem = np.load(sem_p, allow_pickle=True)["arr_0"]
+        gt_ins = np.load(ins_p, allow_pickle=True)["arr_0"]
+        gt_occ = np.abs(gt_tsdf) < 0.999
+        # resample prediction onto the GT grid by integer offset
+        off = np.round((gt_origin - result.origin) / vsz).astype(int)
+        idx = np.stack(np.meshgrid(*[np.arange(s) for s in gt_tsdf.shape],
+                                   indexing="ij"), -1) + off
+        inb = ((idx >= 0) & (idx < np.array(result.tsdf.shape))).all(-1)
+        ic = np.clip(idx, 0, np.array(result.tsdf.shape) - 1)
+        pred_ins = np.where(inb, result.instance[ic[..., 0], ic[..., 1],
+                                                 ic[..., 2]], 0)
+        pred_sem = np.where(inb, result.semantic[ic[..., 0], ic[..., 1],
+                                                 ic[..., 2]], 0)
+        sel = gt_occ & ((gt_ins > 0) | (pred_ins > 0))
+        # per-segment class maps by majority vote
+        def cls_map(seg, sem):
+            ids = np.unique(seg[sel])
+            out = {}
+            for i in ids:
+                if i == 0:
+                    continue
+                vals = sem[sel][seg[sel] == i]
+                out[int(i)] = int(np.bincount(vals).argmax()) if len(vals) else 0
+            return out
+        metrics.update(panoptic_quality(
+            pred_ins[sel], cls_map(pred_ins, pred_sem),
+            gt_ins[sel], cls_map(gt_ins, gt_sem)))
+    return metrics
+
+
 def visualize_metrics(result_dir: str, keys=("AbsRel", "AbsDiff", "SqRel",
                                              "RMSE", "LogRMSE", "r1", "r2",
                                              "r3", "complete", "dist1",

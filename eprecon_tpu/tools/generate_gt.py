@@ -122,6 +122,10 @@ def process_scene(scene: str, frames: Dict, save_path: str,
     for l, t in enumerate(tsdfs):
         np.savez_compressed(
             os.path.join(save_path, scene, f"full_tsdf_layer{l}.npz"), t)
+    # scene frame metadata (reference writes tsdf_info.pkl, generate_gt.py:172)
+    np.savez(os.path.join(save_path, scene, "tsdf_info.npz"),
+             vol_origin=origin.astype(np.float32),
+             voxel_size=np.float32(voxel_size))
     if label_points is not None:
         pts, sem, ins = label_points
         occ0 = np.abs(tsdfs[0]) < 0.999
@@ -134,7 +138,12 @@ def process_scene(scene: str, frames: Dict, save_path: str,
                 os.path.join(save_path, scene,
                              f"full_{name}_layer_interpolate0.npz"), vol_i)
     kf = select_keyframes(frames["poses"])
-    frags = build_fragments(scene, kf, origin, n_views)
+    # map keyframe indices (into the kept-pose list) back to on-disk frame
+    # ids so fragments reference the right color/depth files even when
+    # bad-pose frames were dropped
+    kf_ids = [frames["frame_ids"][i] for i in kf] \
+        if "frame_ids" in frames else kf
+    frags = build_fragments(scene, kf_ids, origin, n_views)
     with open(os.path.join(save_path, scene, "fragments.pkl"), "wb") as f:
         pickle.dump(frags, f)
     return frags
@@ -153,6 +162,42 @@ def generate_split_pkls(save_path: str, splits: Dict[str, List[str]]):
             pickle.dump(all_frags, f)
 
 
+def load_label_points(label_path: str, scene: str):
+    """Load the ScanNet label export ({scene}_vert.npy xyzrgb +
+    _sem_label.npy + _ins_label.npy, reference
+    datasets/scannet/batch_load_scannet_data.py outputs). Returns
+    (points, semantic, instance) or None."""
+    vert = os.path.join(label_path, f"{scene}_vert.npy")
+    if not os.path.exists(vert):
+        return None
+    pts = np.load(vert)[:, :3].astype(np.float32)
+    sem = np.load(os.path.join(label_path, f"{scene}_sem_label.npy"))
+    ins = np.load(os.path.join(label_path, f"{scene}_ins_label.npy"))
+    return pts, sem, ins
+
+
+def generate_all(data_path: str, save_name: str = "all_tsdf_9",
+                 voxel_size: float = 0.04, n_views: int = 9,
+                 max_depth: float = 3.0, label_path: Optional[str] = None,
+                 splits: Optional[Dict[str, List[str]]] = None):
+    """Process every scene under data_path and assemble split pkls."""
+    from eprecon_tpu.tools.simple_loader import ScanNetSceneLoader
+
+    save_path = os.path.join(os.path.dirname(data_path.rstrip("/")), save_name)
+    scenes = sorted(os.listdir(data_path))
+    for scene in scenes:
+        loader = ScanNetSceneLoader(data_path, scene, max_depth)
+        frames = loader.load_all()
+        labels = load_label_points(label_path, scene) if label_path else None
+        process_scene(scene, frames, save_path, voxel_size, n_views,
+                      label_points=labels)
+        print(f"{scene}: done")
+    if splits is None:
+        splits = {"train": scenes, "val": scenes, "test": scenes}
+    generate_split_pkls(save_path, splits)
+    return save_path
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data_path", required=True)
@@ -160,17 +205,12 @@ def main():
     ap.add_argument("--voxel_size", type=float, default=0.04)
     ap.add_argument("--n_views", type=int, default=9)
     ap.add_argument("--max_depth", type=float, default=3.0)
+    ap.add_argument("--label_path", default=None,
+                    help="dir with {scene}_vert.npy label exports")
     args = ap.parse_args()
 
-    from eprecon_tpu.tools.simple_loader import ScanNetSceneLoader
-
-    save_path = os.path.join(os.path.dirname(args.data_path), args.save_name)
-    scenes = sorted(os.listdir(args.data_path))
-    for scene in scenes:
-        loader = ScanNetSceneLoader(args.data_path, scene, args.max_depth)
-        frames = loader.load_all()
-        process_scene(scene, frames, save_path, args.voxel_size, args.n_views)
-        print(f"{scene}: done")
+    generate_all(args.data_path, args.save_name, args.voxel_size,
+                 args.n_views, args.max_depth, args.label_path)
 
 
 if __name__ == "__main__":

@@ -39,13 +39,16 @@ class ScanNetSceneLoader:
 
     def load_all(self) -> Dict[str, List[np.ndarray]]:
         k = self.intrinsics()
-        depths, poses, intrinsics = [], [], []
+        depths, poses, intrinsics, kept = [], [], [], []
         for fid in self.frame_ids:
             fr = self.frame(fid)
             if not np.isfinite(fr["pose"]).all():
-                continue
+                continue  # bad-pose frames skipped (reference generate_gt.py:334)
             depths.append(fr["depth"])
             poses.append(fr["pose"])
             intrinsics.append(k)
+            kept.append(fid)
+        # frame_ids are the kept files' ids, aligned with depths/poses, so
+        # keyframe indices map back to the on-disk color/<id>.jpg names
         return dict(depths=depths, poses=poses, intrinsics=intrinsics,
-                    frame_ids=self.frame_ids)
+                    frame_ids=kept)

@@ -8,6 +8,7 @@ RecurrentState; a scene change resets that device's state host-side.
 """
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Callable, Dict, Iterable, Optional
 
@@ -91,12 +92,7 @@ def train_epochs(cfg: Config, model, tstate: TrainState, step_fn,
                 rec = make_recurrent_state(cfg.model)
                 # center the dense global volume on the scene origin so the
                 # randomly-transformed fragment windows index non-negatively
-                half = (np.asarray(cfg.model.global_extent)
-                        * cfg.model.voxel_size / 2)
-                global_origin = (np.asarray(data.get("vol_origin", np.zeros(3)),
-                                            np.float32) - half.astype(np.float32))
-                snap = cfg.model.voxel_size * 2 ** cfg.model.n_scales
-                global_origin = np.round(global_origin / snap) * snap
+                global_origin = _scene_origin(cfg, data)
             imgs, frag, targets = fragment_to_device_args(cfg, data, global_origin)
             tstate, rec, metrics = step_fn(tstate, imgs, frag, targets, rec)
             meter.update({k: v for k, v in metrics.items()})
@@ -106,6 +102,86 @@ def train_epochs(cfg: Config, model, tstate: TrainState, step_fn,
                                    {k: float(v) for k, v in metrics.items()},
                                    step_count)
         means = meter.mean()
+        if means.get("overflow", 0.0) > 0:
+            log_fn(f"WARNING: mean voxel-capacity overflow "
+                   f"{means['overflow']:.0f}/step — raise model.voxel_capacity")
+        log_fn(f"epoch {epoch}: {means} ({time.time()-t0:.1f}s)")
+        tstate = tstate._replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
+        if (epoch + 1) % cfg.save_freq == 0:
+            ckpt.save_checkpoint(cfg.logdir, epoch, tstate)
+    return tstate
+
+
+def _tree_stack(items):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *items)
+
+
+def _scene_origin(cfg: Config, data: dict) -> np.ndarray:
+    """Global dense-volume origin for a new scene (snapped so fragment
+    windows index non-negatively)."""
+    half = np.asarray(cfg.model.global_extent) * cfg.model.voxel_size / 2
+    origin = (np.asarray(data.get("vol_origin", np.zeros(3)), np.float32)
+              - half.astype(np.float32))
+    snap = cfg.model.voxel_size * 2 ** cfg.model.n_scales
+    return (np.round(origin / snap) * snap).astype(np.float32)
+
+
+def train_epochs_sharded(cfg: Config, model, tstate: TrainState, step_fn,
+                         dataset, n_devices: int,
+                         epochs: Optional[int] = None,
+                         log_fn: Callable[[str], None] = print):
+    """Mesh-sharded training loop: device d consumes the contiguous fragment
+    shard d (the reference's per-rank DDP stream, datasets/sampler.py:56-76)
+    and carries its own RecurrentState; a scene change on one device resets
+    only that device's stream state. `step_fn` must come from
+    make_train_step(..., mesh=...) and consume leading device axes."""
+    from eprecon_tpu.data.sampler import ContiguousDistributedSampler
+    from eprecon_tpu.parallel.mesh import is_main_process
+    from eprecon_tpu.utils.logging import SummaryWriter
+
+    writer = SummaryWriter(cfg.logdir) if is_main_process() else None
+    epochs = epochs or cfg.train.epochs
+    start_epoch = int(tstate.epoch)
+    samplers = [ContiguousDistributedSampler(len(dataset), n_devices, d)
+                for d in range(n_devices)]
+    fresh = make_recurrent_state(cfg.model)
+    rec = _tree_stack([fresh] * n_devices)
+    scenes = [None] * n_devices
+    origins = [np.zeros(3, np.float32)] * n_devices
+    step_count = int(tstate.step)
+
+    for epoch in range(start_epoch, epochs):
+        meter = MetricsMeter()
+        t0 = time.time()
+        dataset.epoch = epoch
+        streams = [iter(s) for s in samplers]
+        while True:
+            try:
+                batch = [dataset[next(st)] for st in streams]
+            except StopIteration:
+                break
+            args = []
+            for d, data in enumerate(batch):
+                if data.get("scene") != scenes[d]:
+                    scenes[d] = data.get("scene")
+                    origins[d] = _scene_origin(cfg, data)
+                    rec = jax.tree_util.tree_map(
+                        lambda x, f: x.at[d].set(f), rec, fresh)
+                args.append(fragment_to_device_args(cfg, data, origins[d]))
+            imgs = _tree_stack([a[0] for a in args])
+            frag = _tree_stack([a[1] for a in args])
+            targets = _tree_stack([a[2] for a in args])
+            tstate, rec, metrics = step_fn(tstate, imgs, frag, targets, rec)
+            meter.update({k: v for k, v in metrics.items()})
+            step_count += 1
+            if writer is not None and step_count % cfg.summary_freq == 0:
+                writer.add_scalars("train",
+                                   {k: float(v) for k, v in metrics.items()},
+                                   step_count)
+        means = meter.mean()
+        if means.get("overflow", 0.0) > 0:
+            log_fn(f"WARNING: mean voxel-capacity overflow "
+                   f"{means['overflow']:.0f}/step — raise model.voxel_capacity")
         log_fn(f"epoch {epoch}: {means} ({time.time()-t0:.1f}s)")
         tstate = tstate._replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
         if (epoch + 1) % cfg.save_freq == 0:
@@ -115,33 +191,92 @@ def train_epochs(cfg: Config, model, tstate: TrainState, step_fn,
 
 def evaluate(cfg: Config, reconstructor, dataset_iter: Iterable[dict],
              out_dir: Optional[str] = None,
-             log_fn: Callable[[str], None] = print):
+             log_fn: Callable[[str], None] = print,
+             with_losses: bool = True,
+             gt_dir: Optional[str] = None):
     """Streaming test loop (reference main.py:351-411): feed fragments in
-    temporal order, save finished scenes."""
+    temporal order, save finished scenes, and — when the dataset carries GT —
+    aggregate the loss scalars over the split (reference DictAverageMeter).
+    With gt_dir set, finished scenes are additionally scored against the
+    generated GT volumes (mesh F-score + voxel PQ, written to
+    <out_dir>/<scene>_metrics.json)."""
+    import dataclasses
+    import json
+
     from eprecon_tpu.inference.mesh_export import save_scene
+
+    def score_scene(finished):
+        if gt_dir is None:
+            return
+        from eprecon_tpu.tools.evaluation import evaluate_scene_vs_gt
+
+        try:
+            m = evaluate_scene_vs_gt(finished, gt_dir)
+        except FileNotFoundError:
+            return
+        if m:
+            log_fn(f"scene {finished.name}: "
+                   + " ".join(f"{k}={v:.4f}" for k, v in m.items()
+                              if isinstance(v, float)))
+            if out_dir:
+                with open(os.path.join(out_dir,
+                                       f"{finished.name}_metrics.json"),
+                          "w") as f:
+                    json.dump(m, f)
 
     n = 0
     t0 = time.time()
     results = []
+    meter = MetricsMeter()
+    pending_losses = []  # device scalars, read back at the end
     for data in dataset_iter:
+        targets = None
+        if with_losses and "tsdf_list" in data:
+            targets = FragmentTargets(
+                tsdf=tuple(jnp.asarray(t) for t in data["tsdf_list"]),
+                occ=tuple(jnp.asarray(o) for o in data["occ_list"]),
+                semantic=(jnp.asarray(data["semantic"])
+                          if "semantic" in data else None),
+                instance=(jnp.asarray(data["instance"])
+                          if "instance" in data else None))
         finished = reconstructor.process_fragment(
             scene=data["scene"], imgs=np.stack(data["imgs"]),
             proj_matrices=data["proj_matrices"],
             vol_origin=np.asarray(data["vol_origin"]),
             vol_origin_partial=np.asarray(data["vol_origin_partial"]),
-            world_to_aligned_camera=data["world_to_aligned_camera"])
+            world_to_aligned_camera=data["world_to_aligned_camera"],
+            targets=targets)
+        if targets is not None and reconstructor.last_losses:
+            pending_losses.append(reconstructor.last_losses)
         if finished is not None:
             results.append(finished)
             if out_dir:
                 save_scene(finished, out_dir)
+            if finished.overflow:
+                log_fn(f"WARNING: scene {finished.name} dropped "
+                       f"{finished.overflow} voxels to capacity — raise "
+                       f"model.voxel_capacity")
+            score_scene(finished)
             log_fn(f"scene {finished.name} done")
+        if cfg.save_incremental and out_dir:
+            snap = reconstructor.snapshot()
+            if snap is not None:
+                snap = dataclasses.replace(snap, name=f"{snap.name}_{n:04d}")
+                save_scene(snap, os.path.join(out_dir, "incremental"),
+                           save_npz=False)
         n += 1
     final = reconstructor.flush()
     if final is not None:
         results.append(final)
         if out_dir:
             save_scene(final, out_dir)
+        score_scene(final)
     dt = time.time() - t0
+    for losses in pending_losses:
+        meter.update({k: float(v) for k, v in losses.items()})
+    if meter.count:
+        means = {k: round(v, 4) for k, v in meter.mean().items()}
+        log_fn(f"eval losses over {meter.count} fragments: {means}")
     log_fn(f"{n} fragments in {dt:.1f}s "
            f"({n * cfg.test.n_views / max(dt, 1e-9):.1f} keyframes/s)")
     return results

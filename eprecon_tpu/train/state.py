@@ -74,8 +74,16 @@ def freeze_mask_for(params, freeze: Optional[str]):
 
 
 def create_train_state(cfg: Config, rng, sample_args,
-                       steps_per_epoch: int = 1000) -> Tuple[TrainState, EPRecon]:
-    """Initialize model + optimizer from one sample fragment's args."""
+                       steps_per_epoch: int = 1000
+                       ) -> Tuple[TrainState, EPRecon,
+                                  optax.GradientTransformation]:
+    """Initialize model + optimizer from one sample fragment's args.
+
+    Returns (state, model, tx). Callers MUST step with the returned tx: it
+    carries the staged-freezing mask (reference main.py:221-230) and the
+    opt_state pytree in `state` matches it — a freshly built plain optimizer
+    would mismatch (multi_transform vs chain) or silently un-freeze.
+    """
     model = EPRecon(cfg.model)
     # init under jit: eager init dispatches thousands of ops individually
     # (minutes through the axon relay)
@@ -88,7 +96,7 @@ def create_train_state(cfg: Config, rng, sample_args,
     opt_state = tx.init(params)
     state = TrainState(params, {"batch_stats": batch_stats, "buffers": buffers},
                        opt_state, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    return state, model
+    return state, model, tx
 
 
 def fragment_loss_fn(model: EPRecon, params, aux_vars, imgs, frag, targets,
@@ -100,6 +108,10 @@ def fragment_loss_fn(model: EPRecon, params, aux_vars, imgs, frag, targets,
         only_train_init=only_train_init, mutable=["batch_stats"])
     total = losses.get("total_loss", 0.0 * jnp.zeros(()))
     metrics = {k: v for k, v in losses.items()}
+    # surface silent capacity truncation (reference warns + aborts at 1.5x cap,
+    # neucon_network.py:462-484; here compaction keeps a deterministic subset)
+    metrics["overflow"] = jnp.asarray(
+        outputs.get("overflow", jnp.zeros((), jnp.int32)), jnp.float32)
     new_aux = dict(aux_vars)
     new_aux["batch_stats"] = updates["batch_stats"]
     return total, (metrics, new_aux, new_rec)

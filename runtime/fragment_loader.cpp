@@ -124,6 +124,19 @@ bool decode_png16_depth(const char* path, float max_depth_m, Image* out) {
   return true;
 }
 
+// ScanNet color frames are 1296x968; the python pipeline pads 2 zero rows
+// top+bottom to 972 before resizing (reference datasets/transforms.py:83-92,
+// mirrored in eprecon_tpu/data/transforms.py pad_scannet). Apply the same
+// pad here so native-decoded images match the python path.
+void pad_scannet_968(Image* img) {
+  if (img->w != 1296 || img->h != 968 || img->c != 3) return;
+  std::vector<float> padded((size_t)img->w * 972 * 3, 0.0f);
+  std::memcpy(padded.data() + (size_t)2 * img->w * 3, img->data.data(),
+              img->data.size() * sizeof(float));
+  img->data = std::move(padded);
+  img->h = 972;
+}
+
 void resize_bilinear(const Image& src, int out_w, int out_h, float* dst) {
   const float sx = (float)src.w / out_w;
   const float sy = (float)src.h / out_h;
@@ -253,6 +266,7 @@ long frag_loader_submit(void* handle, int n_views, const char** img_paths,
       l->queue.push_back([l, fr, i, img_sz, dep_sz] {
         Image img;
         if (decode_jpeg_bgr(fr->img_paths[i].c_str(), &img)) {
+          pad_scannet_968(&img);
           resize_bilinear(img, l->out_w, l->out_h, fr->imgs.data() + i * img_sz);
         } else {
           fr->ok = false;

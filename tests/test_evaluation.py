@@ -39,3 +39,27 @@ def test_trim_tsdf_roundtrip():
     t, w = trim_tsdf([depth], [k], [pose], np.array([-1.0, -1.0, 0.0]),
                      (32, 32, 32), 0.08)
     assert (np.abs(t) < 1).any()
+
+
+def test_surface_nets_sphere():
+    """Native isosurface extraction (replaces skimage marching cubes, which
+    is not installed): vertices on the zero crossing, valid watertight
+    topology, outward normals."""
+    import numpy as np
+
+    from eprecon_tpu.inference.mesh_export import surface_nets
+
+    n = 40
+    g = np.stack(np.meshgrid(*[np.arange(n)] * 3, indexing="ij"),
+                 -1).astype(np.float32)
+    c = (n - 1) / 2
+    r = 12.0
+    t = np.clip((np.linalg.norm(g - c, axis=-1) - r) / 3.0, -1, 1)
+    v, f, nr = surface_nets(t)
+    rad = np.linalg.norm(v - c, axis=1)
+    assert abs(rad.mean() - r) < 0.2 and rad.std() < 0.2
+    assert f.min() >= 0 and f.max() < len(v)
+    # Euler characteristic of a sphere: V - E + F = 2 (E = 3F/2)
+    assert len(v) - 3 * len(f) // 2 + len(f) == 2
+    outward = ((v - c) / rad[:, None] * nr).sum(1)
+    assert outward.mean() > 0.9

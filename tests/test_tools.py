@@ -102,3 +102,28 @@ def test_scene_fusion_roundtrip(rng):
     assert len(tsdfs) == 2
     zc = np.abs(tsdfs[0]) < 0.999
     assert zc.any()
+
+
+def test_viewer_headless_snapshot(tmp_path):
+    """Incremental viewer renders a PLY to a PNG headlessly
+    (reference tools/render.py counterpart)."""
+    import numpy as np
+
+    from eprecon_tpu.inference.mesh_export import write_ply
+    from eprecon_tpu.tools.ply_io import read_ply_mesh
+    from eprecon_tpu.tools.render import Visualizer
+
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]])
+    p = str(tmp_path / "m.ply")
+    write_ply(p, verts, faces, colors=np.full((4, 3), 128, np.uint8))
+    rv, rf, rc = read_ply_mesh(p)
+    np.testing.assert_allclose(rv, verts, atol=1e-4)
+    assert rf.shape == (4, 3) and rc.shape == (4, 3)
+
+    vis = Visualizer(headless_dir=str(tmp_path))
+    out = vis.vis_mesh(p)
+    vis.close()
+    import os
+
+    assert out and os.path.exists(out)
