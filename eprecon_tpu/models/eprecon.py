@@ -106,7 +106,8 @@ class SparseConvResidual(nn.Module):
         out = dense3d.SubMConv3dDense(self.features, 3)(vol, mask)
         out = nn.relu(out)
         out = vol + out
-        out = nn.LayerNorm(epsilon=1e-5)(out)
+        # bf16 IO (f32 statistics): these run on full 96^3 windows
+        out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.bfloat16)(out)
         return dense3d._mask3(out, mask)
 
 
@@ -298,8 +299,12 @@ class EPReconCore(nn.Module):
 
             # heads (reference :414-415) on the dense window
             feat_v = fused[..., :channels[i]]
-            tsdf = Linear4xTrans(1, name=f"tsdf_pred_{i}")(feat_v)[..., 0]
-            occ = Linear4xTrans(1, name=f"occ_pred_{i}")(feat_v)[..., 0]
+            tsdf = Linear4xTrans(1, dtype=jnp.bfloat16,
+                                 name=f"tsdf_pred_{i}")(feat_v)[..., 0]
+            occ = Linear4xTrans(1, dtype=jnp.bfloat16,
+                                name=f"occ_pred_{i}")(feat_v)[..., 0]
+            tsdf = tsdf.astype(jnp.float32)
+            occ = occ.astype(jnp.float32)
 
             if targets is not None:
                 l = tsdf_occ_loss(tsdf.reshape(-1), occ.reshape(-1),
@@ -345,8 +350,10 @@ class EPReconCore(nn.Module):
         pano_ch = cfg.panoptic.hidden_dim
         lvl_dense = []
         for p in range(3):
-            f = Linear4xTrans(pano_ch, name=f"panoptic_pred_{p}")(pano_feats_dense[p])
-            lvl_dense.append(jnp.where(pano_masks[p][..., None], f, 0.0))
+            f = Linear4xTrans(pano_ch, dtype=jnp.bfloat16,
+                              name=f"panoptic_pred_{p}")(pano_feats_dense[p])
+            lvl_dense.append(jnp.where(pano_masks[p][..., None], f,
+                                       jnp.bfloat16(0)))
 
         # mask features: 3 residual subM convs on the finest window
         # (reference modules.py:574-580), dense then compacted once
@@ -367,16 +374,23 @@ class EPReconCore(nn.Module):
             lvl_coords.append(svx.coords[:, 1:] * stride)  # fine units
             lvl_valid.append(svx.valid)
             overflow = overflow + ovf
-        fine_sv, ovf = sp.dense_to_sparse(
-            jnp.concatenate([lvl_dense[2], mf,
-                             outputs["tsdf_window"][..., None]], axis=-1),
-            pano_masks[2], caps[2])
-        lvl_feats.append(fine_sv.feats[:, :pano_ch])
+        # bf16 feats and f32 tsdf ride the same compaction order as separate
+        # arrays — concatenating them would promote the 884k x 97 pack table
+        # to f32 (2x the HBM traffic of the pack+gather)
+        n_fine = int(np.prod(cfg.n_vox))
+        fine_coords = jnp.concatenate(
+            [jnp.zeros((n_fine, 1), jnp.int32),
+             dense_coords(tuple(cfg.n_vox)).reshape(-1, 3)], axis=1)
+        fine_sv, (fine_feats, fine_tsdf), ovf = sp.compact(
+            pano_masks[2].reshape(-1), fine_coords, caps[2],
+            jnp.concatenate([lvl_dense[2], mf], axis=-1).reshape(n_fine, -1),
+            outputs["tsdf_window"].reshape(n_fine, 1))
+        lvl_feats.append(fine_feats[:, :pano_ch])
         lvl_coords.append(fine_sv.coords[:, 1:])
         lvl_valid.append(fine_sv.valid)
-        mask_feats = fine_sv.feats[:, pano_ch:2 * pano_ch]
+        mask_feats = fine_feats[:, pano_ch:2 * pano_ch]
         outputs["coords"] = fine_sv.coords
-        outputs["tsdf"] = fine_sv.feats[:, 2 * pano_ch]
+        outputs["tsdf"] = fine_tsdf[:, 0]
         outputs["valid"] = fine_sv.valid
         outputs["overflow"] = overflow + ovf
 
