@@ -24,7 +24,7 @@ from eprecon_tpu.models.eprecon import (EPRecon, FragmentInputs,
                                         make_recurrent_state)
 from eprecon_tpu.models.gru_fusion import PanopticGlobalDense, fuse_tsdf_direct
 from eprecon_tpu.models.panoptic.post import panoptic_inference
-from eprecon_tpu.ops import sparse as sp
+from eprecon_tpu.ops import grid, sparse as sp
 
 
 @dataclasses.dataclass
@@ -93,11 +93,9 @@ class StreamingReconstructor:
             if self.scene_name is not None:
                 finished = self.flush()
             self.scene_name = scene
-            # margin below the scene origin so early fragments snapped a bit
-            # outside the frustum bounds still index non-negatively (must be
-            # a multiple of the coarsest interval)
-            margin = 32 * self.cfg.model.voxel_size
-            self.global_origin = (np.asarray(vol_origin, np.float32) - margin)
+            m = self.cfg.model
+            self.global_origin = grid.scene_global_origin(
+                m.global_extent, m.n_vox, m.n_scales, m.voxel_size, vol_origin)
             self._reset_state()
 
         rel = []

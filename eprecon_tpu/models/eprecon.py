@@ -281,8 +281,10 @@ class EPReconCore(nn.Module):
             feat_all = jnp.concatenate([feat3d.astype(jnp.bfloat16), volume],
                                        axis=-1)  # [X,Y,Z, gru_ch] bf16
 
-            # GRU fusion over the dense window (reference :406-409)
-            fused, union, new_gmap = nn.remat(DenseGRUFusion)(
+            # GRU fusion over the dense window (reference :406-409); remat is
+            # applied INSIDE (conv compute only) so the global-map
+            # slice/writeback is not recomputed in the backward pass
+            fused, union, new_gmap = DenseGRUFusion(
                 ch_voxel=channels[i], ch_img=ch_init[i],
                 name=f"gru_fusion_{i}")(
                     feat_all, stage_mask, state.gmaps[i], frag.rel_origins[i])
@@ -298,13 +300,13 @@ class EPReconCore(nn.Module):
             new_tmaps.append(new_tmap)
 
             # heads (reference :414-415) on the dense window
-            feat_v = fused[..., :channels[i]]
-            tsdf = Linear4xTrans(1, dtype=jnp.bfloat16,
-                                 name=f"tsdf_pred_{i}")(feat_v)[..., 0]
-            occ = Linear4xTrans(1, dtype=jnp.bfloat16,
-                                name=f"occ_pred_{i}")(feat_v)[..., 0]
-            tsdf = tsdf.astype(jnp.float32)
-            occ = occ.astype(jnp.float32)
+            # tsdf/occ heads stay f32: in bf16 their gradient noise collapses
+            # occupancy selection during early training (n_occ → 0 by step 12
+            # on the tiny quality-loop config — the occ head is the sole
+            # source of the stage losses, so the collapse is irrecoverable)
+            feat_v = fused[..., :channels[i]].astype(jnp.float32)
+            tsdf = Linear4xTrans(1, name=f"tsdf_pred_{i}")(feat_v)[..., 0]
+            occ = Linear4xTrans(1, name=f"occ_pred_{i}")(feat_v)[..., 0]
 
             if targets is not None:
                 l = tsdf_occ_loss(tsdf.reshape(-1), occ.reshape(-1),

@@ -123,15 +123,23 @@ class DenseGRUFusion(nn.Module):
         h = jnp.where(g_mask[..., None], g_feats, 0)
         x = jnp.where(cur_mask[..., None], cur_feats, 0)
         cv = self.ch_voxel
-        fv = DenseConvGRU(cv, name="gru_voxel")(h[..., :cv], x[..., :cv], union)
-        fi = DenseConvGRU(self.ch_img, name="gru_img")(h[..., cv:], x[..., cv:],
-                                                       union)
+        # remat ONLY the GRU conv compute: the global-map slice/writeback must
+        # stay outside the remat boundary, otherwise the backward pass
+        # recomputes full-volume dynamic_update_slices (~2.5 ms copies of the
+        # [256,256,6144] map per level per direction, measured on v5e)
+        fv = nn.remat(DenseConvGRU)(cv, name="gru_voxel")(
+            h[..., :cv], x[..., :cv], union)
+        fi = nn.remat(DenseConvGRU)(self.ch_img, name="gru_img")(
+            h[..., cv:], x[..., cv:], union)
         fused = jnp.concatenate([fv, fi], axis=-1)
         fused = jnp.where(union[..., None], fused, 0)
 
+        # state carry is truncated-BPTT (the reference detaches global volumes
+        # between fragments): no gradient flows through the writeback
         new_gmap = DenseGlobalLevel(
-            update_window_flat(gmap.feats, fused.astype(gmap.feats.dtype),
-                               rel_origin),
+            update_window_flat(gmap.feats,
+                               jax.lax.stop_gradient(fused).astype(
+                                   gmap.feats.dtype), rel_origin),
             update_window(gmap.mask, union, rel_origin))
         return fused, union, new_gmap
 

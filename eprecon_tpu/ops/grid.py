@@ -32,3 +32,26 @@ def dense_coords(shape: Sequence[int]) -> jnp.ndarray:
     nx, ny, nz = shape
     x, y, z = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
     return jnp.asarray(np.stack([x, y, z], axis=-1), dtype=jnp.int32)
+
+
+def scene_global_origin(global_extent: Sequence[int], n_vox: Sequence[int],
+                        n_scales: int, voxel_size: float,
+                        vol_origin: np.ndarray) -> np.ndarray:
+    """World origin of a scene's dense global volume.
+
+    Sits a margin below the scene origin so early fragments snapped slightly
+    outside the frustum bounds still index non-negatively — but the margin is
+    capped per axis by the slack the global volume actually has
+    (extent - window): a larger margin would push `rel_origin` past the
+    dynamic-slice clamp, silently relocating fragment content (reconstruction
+    shifted by exactly the margin — the bug the cap fixes). Snapped to the
+    coarsest-level grid so every pyramid level's rel_origin is integral.
+    """
+    snap_units = 2 ** n_scales
+    desired = 32
+    margin_units = np.minimum(
+        desired, np.maximum(np.asarray(global_extent) - np.asarray(n_vox), 0))
+    margin_units = margin_units // snap_units * snap_units
+    origin = np.asarray(vol_origin, np.float32) - margin_units * voxel_size
+    snap = voxel_size * snap_units
+    return (np.round(origin / snap) * snap).astype(np.float32)

@@ -117,13 +117,17 @@ def _tree_stack(items):
 
 
 def _scene_origin(cfg: Config, data: dict) -> np.ndarray:
-    """Global dense-volume origin for a new scene (snapped so fragment
-    windows index non-negatively)."""
-    half = np.asarray(cfg.model.global_extent) * cfg.model.voxel_size / 2
-    origin = (np.asarray(data.get("vol_origin", np.zeros(3)), np.float32)
-              - half.astype(np.float32))
-    snap = cfg.model.voxel_size * 2 ** cfg.model.n_scales
-    return (np.round(origin / snap) * snap).astype(np.float32)
+    """Global dense-volume origin for a new scene — same slack-capped margin
+    convention as the streaming pipeline (ops/grid.scene_global_origin), so
+    train/eval/inference agree on where fragment windows land. The previous
+    half-extent centering exceeded the volume's (extent - window) slack and
+    the rel_origin clamp silently relocated fragments."""
+    from eprecon_tpu.ops.grid import scene_global_origin
+
+    m = cfg.model
+    return scene_global_origin(
+        m.global_extent, m.n_vox, m.n_scales, m.voxel_size,
+        np.asarray(data.get("vol_origin", np.zeros(3)), np.float32))
 
 
 def train_epochs_sharded(cfg: Config, model, tstate: TrainState, step_fn,

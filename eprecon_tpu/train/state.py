@@ -112,6 +112,11 @@ def fragment_loss_fn(model: EPRecon, params, aux_vars, imgs, frag, targets,
     # neucon_network.py:462-484; here compaction keeps a deterministic subset)
     metrics["overflow"] = jnp.asarray(
         outputs.get("overflow", jnp.zeros((), jnp.int32)), jnp.float32)
+    # fragment-abort visibility: frag_ok=0 means every stage/panoptic loss is
+    # gated off (reference logs 'no valid points' warnings); a run of zeros in
+    # the training log is an occupancy collapse, not convergence
+    metrics["frag_ok"] = jnp.asarray(
+        outputs.get("frag_ok", jnp.ones((), bool)), jnp.float32)
     new_aux = dict(aux_vars)
     new_aux["batch_stats"] = updates["batch_stats"]
     return total, (metrics, new_aux, new_rec)
@@ -148,7 +153,12 @@ def make_train_step(model: EPRecon, tx: optax.GradientTransformation,
 
         return step
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+        _sm_kwargs = {"check_vma": False}
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+        _sm_kwargs = {"check_rep": False}
     from jax.sharding import PartitionSpec as P
 
     @functools.partial(jax.jit)
@@ -170,7 +180,7 @@ def make_train_step(model: EPRecon, tx: optax.GradientTransformation,
             shard_fn, mesh=mesh,
             in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
             out_specs=(P(), P(), P(), P("data")),
-            check_rep=False)(state, imgs, frag, targets, rec)
+            **_sm_kwargs)(state, imgs, frag, targets, rec)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(new_params, new_aux, new_opt,

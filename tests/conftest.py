@@ -14,6 +14,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the heavy tests (CLI end-to-end, quality loop)
+# spend nearly all their time in XLA CPU compiles of identical programs —
+# cached, a repeat full-suite run drops from ~80 min to minutes
+_cache = os.path.expanduser("~/.cache/jax_compilation_cpu_tests")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -78,6 +78,46 @@ def test_back_project_mean_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(mean)[valid], exp[valid], rtol=1e-4, atol=1e-5)
 
 
+def test_back_project_window_matches_sparse_path(rng):
+    """The dense-window fast path (production, bf16 quad-row gathers) agrees
+    with the oracle-tested sparse back_project_mean on every window voxel."""
+    n_views, h, w, c = 4, 12, 16, 5
+    dim, interval, voxel_size = (8, 8, 8), 2, 0.1
+    feats = rng.standard_normal((n_views, 1, h, w, c)).astype(np.float32)
+    projs = []
+    for v in range(n_views):
+        kmat = np.array([[20.0, 0, w / 2], [0, 20.0, h / 2], [0, 0, 1]],
+                        np.float32)
+        pose = np.eye(4, dtype=np.float32)
+        pose[0, 3] = 0.1 * v
+        pm = np.eye(4, dtype=np.float32)
+        pm[:3, :4] = kmat @ np.linalg.inv(pose)[:3, :4]
+        projs.append(pm)
+    proj = np.stack(projs)[:, None]  # [V, 1, 4, 4]
+    origin = np.array([[-0.2, -0.2, 0.5]], np.float32)
+
+    mean_w, count_w = bp.back_project_window(dim, interval, jnp.asarray(origin),
+                                             voxel_size, jnp.asarray(feats),
+                                             jnp.asarray(proj))
+
+    n = dim[0] * dim[1] * dim[2]
+    ii, jj, kk = np.meshgrid(*[np.arange(d) for d in dim], indexing="ij")
+    coords = np.zeros((n, 4), np.int32)
+    coords[:, 1:] = np.stack([ii, jj, kk], -1).reshape(-1, 3) * interval
+    valid = np.ones(n, bool)
+    mean_s, count_s = bp.back_project_mean(jnp.asarray(coords),
+                                           jnp.asarray(valid),
+                                           jnp.asarray(origin), voxel_size,
+                                           jnp.asarray(feats),
+                                           jnp.asarray(proj))
+    np.testing.assert_array_equal(np.asarray(count_w).reshape(-1),
+                                  np.asarray(count_s))
+    # window path computes in bf16 → loose atol
+    np.testing.assert_allclose(
+        np.asarray(mean_w, np.float32).reshape(n, c),
+        np.asarray(mean_s, np.float32), atol=0.03)
+
+
 def test_back_project_variance_matches_torch(rng):
     feats, proj, coords, valid, origin, voxel_size = _setup(rng)
     var, count = bp.back_project_variance(jnp.asarray(coords), jnp.asarray(valid),

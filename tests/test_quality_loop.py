@@ -25,10 +25,21 @@ def tiny_cfg():
     pan = dataclasses.replace(cfg.model.panoptic, num_queries=16, dec_layers=2,
                               max_instances=8, hidden_dim=16, nheads=4,
                               min_instance_voxels=10)
+    # abort floors scale with the window: the reference aborts at 500 of
+    # ~15000+ candidate voxels (~3%, neucon_network.py:469-471); 50 of this
+    # config's 512-voxel coarse window (~10%) sits ON the abort cliff and a
+    # marginal occupancy prediction death-spirals (frag_ok gates every stage
+    # loss off, permanently — observed collapsing by step 12)
+    # occ_init_threshold 0.05: in the first ~30 steps the init head converges
+    # to its class prior (sigmoid≈0.08 at ~5% positives, pos_weight 1.5)
+    # BEFORE the variance features become discriminative; at the production
+    # 0.3 threshold that empties every stage mask mid-training and the run
+    # never recovers within the test budget
     m = dataclasses.replace(
         cfg.model, n_vox=(32, 32, 32), voxel_size=0.12,
         voxel_capacity=(512, 2048, 8192), global_extent=(64, 64, 32),
-        min_init_voxels=100, min_stage_voxels=50, panoptic=pan)
+        min_init_voxels=50, min_stage_voxels=10, occ_init_threshold=0.05,
+        panoptic=pan)
     t = dataclasses.replace(cfg.train, lr=1e-3, accumulation_steps=1)
     return dataclasses.replace(cfg, model=m, train=t)
 
