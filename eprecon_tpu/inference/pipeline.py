@@ -39,6 +39,9 @@ class SceneResult:
     # total voxels dropped by capacity compaction over the scene (the
     # reference warns + aborts at 1.5x cap, neucon_network.py:462-484)
     overflow: int = 0
+    # fragments whose window fell outside the dense global volume and was
+    # clamped (scene larger than model.global_extent)
+    clipped: int = 0
 
 
 class StreamingReconstructor:
@@ -62,6 +65,7 @@ class StreamingReconstructor:
         # device-side overflow scalars, read back once per scene (a per-
         # fragment scalar readback costs ~30 ms through the relay)
         self._overflows = []
+        self.clipped_fragments = 0
 
     def _forward(self, variables, imgs, frag, rec_state, pmap_state,
                  targets=None):
@@ -104,6 +108,21 @@ class StreamingReconstructor:
             vsz = self.cfg.model.voxel_size * interval
             rel.append(np.round(
                 (vol_origin_partial - self.global_origin) / vsz).astype(np.int32))
+        # scenes larger than the dense global volume: the in-graph clamp
+        # would silently relocate this fragment (the reference's sparse map
+        # grows unboundedly, gru_fusion.py:195-215) — count and warn instead
+        fine_hi = (np.asarray(self.cfg.model.global_extent)
+                   - np.asarray(self.cfg.model.n_vox))
+        if (rel[-1] < 0).any() or (rel[-1] > fine_hi).any():
+            self.clipped_fragments += 1
+            if self.clipped_fragments == 1:
+                import warnings
+
+                warnings.warn(
+                    f"scene '{scene}' exceeds the global volume "
+                    f"(rel_origin {rel[-1].tolist()} outside [0, "
+                    f"{fine_hi.tolist()}]); fragment clamped — raise "
+                    f"model.global_extent for larger scenes")
         frag = FragmentInputs(
             jnp.asarray(proj_matrices), jnp.asarray(vol_origin_partial),
             jnp.asarray(world_to_aligned_camera), jnp.asarray(np.stack(rel)))
@@ -131,9 +150,59 @@ class StreamingReconstructor:
         ovf = int(np.asarray(jnp.stack(self._overflows)).sum()) \
             if self._overflows else 0
         return SceneResult(self.scene_name, origin, self.cfg.model.voxel_size,
-                           vol_t, vol_i, vol_s, overflow=ovf)
+                           vol_t, vol_i, vol_s, overflow=ovf,
+                           clipped=self.clipped_fragments)
 
     def snapshot(self) -> Optional[SceneResult]:
         """Current in-progress scene, without ending it — backs the
         save_incremental per-fragment export (reference utils.py:318-360)."""
         return self.flush()
+
+    # ------------------------------------------------------------------
+    # mid-scene session checkpointing (SURVEY §5: the reference never
+    # persists its GRU global volumes — an online session dies with the
+    # process; here the full streaming state round-trips through one file)
+    # ------------------------------------------------------------------
+
+    def save_session(self, path: str):
+        """Serialize the in-progress scene state (recurrent feature volumes,
+        panoptic global map, origin, overflow counters) to an .npz."""
+        # bf16 → f32 for npz portability (exact widening; restore_session
+        # casts back to the state tree's dtypes)
+        widen = lambda a: (np.asarray(a, np.float32)
+                           if str(a.dtype) == "bfloat16" else np.asarray(a))
+        rec = jax.device_get(self.rec_state)
+        pmap = jax.device_get(self.pmap_state)
+        arrays = {f"rec_{i}": widen(leaf)
+                  for i, leaf in enumerate(jax.tree_util.tree_leaves(rec))}
+        arrays.update({f"pmap_{i}": widen(leaf)
+                       for i, leaf in enumerate(jax.tree_util.tree_leaves(pmap))})
+        np.savez_compressed(
+            path, scene=np.asarray(self.scene_name or ""),
+            origin=(self.global_origin if self.global_origin is not None
+                    else np.full(3, np.nan, np.float32)),
+            overflows=np.asarray([int(np.asarray(o)) for o in self._overflows],
+                                 np.int64),
+            clipped=np.asarray(self.clipped_fragments, np.int64),
+            **arrays)
+
+    def restore_session(self, path: str):
+        """Resume a session saved by save_session; continuation is exact."""
+        z = np.load(path)
+        name = str(z["scene"])
+        self.scene_name = name or None
+        origin = z["origin"]
+        self.global_origin = None if np.isnan(origin).any() else \
+            np.asarray(origin, np.float32)
+        rec_ref = make_recurrent_state(self.cfg.model)
+        pmap_ref = PanopticGlobalDense.empty(tuple(self.cfg.model.global_extent))
+        rec_def = jax.tree_util.tree_structure(rec_ref)
+        pmap_def = jax.tree_util.tree_structure(pmap_ref)
+        self.rec_state = jax.tree_util.tree_unflatten(
+            rec_def, [jnp.asarray(z[f"rec_{i}"], ref.dtype) for i, ref in
+                      enumerate(jax.tree_util.tree_leaves(rec_ref))])
+        self.pmap_state = jax.tree_util.tree_unflatten(
+            pmap_def, [jnp.asarray(z[f"pmap_{i}"], ref.dtype) for i, ref in
+                       enumerate(jax.tree_util.tree_leaves(pmap_ref))])
+        self._overflows = [jnp.asarray(v) for v in z["overflows"]]
+        self.clipped_fragments = int(z["clipped"]) if "clipped" in z.files else 0

@@ -49,8 +49,11 @@ def scene_global_origin(global_extent: Sequence[int], n_vox: Sequence[int],
     """
     snap_units = 2 ** n_scales
     desired = 32
-    margin_units = np.minimum(
-        desired, np.maximum(np.asarray(global_extent) - np.asarray(n_vox), 0))
+    slack = np.maximum(np.asarray(global_extent) - np.asarray(n_vox), 0)
+    # never spend more than half the slack below the origin — fragments sit
+    # mostly ABOVE vol_origin, and a margin that eats the full slack forces
+    # the clamp to shift their windows (content skew) on small volumes
+    margin_units = np.minimum(desired, slack // 2)
     margin_units = margin_units // snap_units * snap_units
     origin = np.asarray(vol_origin, np.float32) - margin_units * voxel_size
     snap = voxel_size * snap_units

@@ -115,7 +115,9 @@ def test_train_reconstruct_fscore():
     pred_verts = pv * out.voxel_size + out.origin
 
     m = eval_mesh(pred_verts, gt_verts, threshold=0.15, down_sample=0.06)
-    assert m["fscore"] > 0.4, m
+    # measured 0.83 at 36 steps (tools_dev/repro_quality.py); 0.6 floor
+    # catches regressions like the clamp-skew state (0.57) with headroom
+    assert m["fscore"] > 0.6, m
 
     # panoptic quality is produced (value floor is not asserted — 36 steps
     # do not train the decoder; presence + finiteness is the regression)
