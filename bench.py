@@ -101,12 +101,16 @@ def main():
         relays.append(time.perf_counter() - t0)
     import statistics
 
-    p50_ms = (statistics.median(lats) - statistics.median(relays)) * 1e3
+    relay_ms = statistics.median(relays) * 1e3
+    # clamp: when compute is short relative to relay jitter the subtraction
+    # can go negative, which would corrupt the driver's recorded metric
+    p50_ms = max(0.0, statistics.median(lats) * 1e3 - relay_ms)
 
     print(json.dumps({"metric": "keyframes_per_sec",
                       "value": round(kfps, 2), "unit": "kf/s",
                       "vs_baseline": round(kfps / 33.0, 3),
-                      "p50_fragment_latency_ms": round(p50_ms, 1)}))
+                      "p50_fragment_latency_ms": round(p50_ms, 1),
+                      "relay_readback_floor_ms": round(relay_ms, 1)}))
 
 
 if __name__ == "__main__":

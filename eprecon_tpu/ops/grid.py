@@ -57,4 +57,7 @@ def scene_global_origin(global_extent: Sequence[int], n_vox: Sequence[int],
     margin_units = margin_units // snap_units * snap_units
     origin = np.asarray(vol_origin, np.float32) - margin_units * voxel_size
     snap = voxel_size * snap_units
-    return (np.round(origin / snap) * snap).astype(np.float32)
+    # floor, not round: when slack caps the margin to 0, rounding could snap
+    # the origin up to snap/2 ABOVE vol_origin, making early fragments'
+    # rel_origin negative (the clamp-shift bug class this helper fixes)
+    return (np.floor(origin / snap + 1e-4) * snap).astype(np.float32)
