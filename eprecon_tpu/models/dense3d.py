@@ -198,10 +198,33 @@ def upsample_nearest2(vol: jnp.ndarray) -> jnp.ndarray:
 
 
 def upsample_trilinear(vol: jnp.ndarray, factor: int) -> jnp.ndarray:
-    """[X,Y,Z,C] trilinear upsample (dense voxel_to_point equivalent)."""
-    x, y, z, c = vol.shape
-    return jax.image.resize(vol, (x * factor, y * factor, z * factor, c),
-                            "trilinear")
+    """[X,Y,Z,C] corner-aligned trilinear upsample == torchsparse
+    devoxelize (calc_ti_weights, reference ops/torchsparse_utils.py:68-106).
+
+    Fine voxel c interpolates the coarse corners floor(c/f) and floor(c/f)+1
+    with weights (1-frac, frac), frac = (c mod f)/f; corners past the top
+    edge contribute ZERO (torchsparse missing-voxel semantics — weights are
+    not renormalized). NB jax.image.resize('trilinear') is half-pixel-center
+    aligned and does NOT match (it samples at c/f - (f-1)/(2f), a systematic
+    sub-voxel shift that breaks reference-checkpoint parity).
+    """
+    def up_axis(v: jnp.ndarray, axis: int) -> jnp.ndarray:
+        n = v.shape[axis]
+        # v[l+1] with a zero slab past the top edge
+        pad = [(0, 0)] * v.ndim
+        pad[axis] = (0, 1)
+        nxt = jax.lax.slice_in_dim(jnp.pad(v, pad), 1, n + 1, axis=axis)
+        a = jnp.repeat(v, factor, axis=axis)
+        b = jnp.repeat(nxt, factor, axis=axis)
+        frac = (jnp.arange(n * factor) % factor) / factor
+        shape = [1] * v.ndim
+        shape[axis] = n * factor
+        frac = frac.reshape(shape).astype(v.dtype)
+        return a * (1 - frac) + b * frac
+
+    for ax in range(3):
+        vol = up_axis(vol, ax)
+    return vol
 
 
 class ConvDown3dDense(nn.Module):

@@ -165,6 +165,8 @@ class EPReconCore(nn.Module):
     neucon_network.py:230-624), batch=1, FUSION_ON + FULL, dense windows."""
     cfg: ModelConfig
     use_running_average: bool = False
+    debug_outputs: bool = False  # per-stage windows for golden-parity tests
+                                 # (DCE'd by XLA when unused in production)
 
     @nn.compact
     def __call__(self, features2d: Sequence[jnp.ndarray],
@@ -204,6 +206,9 @@ class EPReconCore(nn.Module):
                 init_interval, cfg.min_view_number)
         occ_logits, init_mask = occ_logits[0], init_mask[0]  # batch=1
         init_ok = jnp.sum(init_mask.astype(jnp.int32)) >= cfg.min_init_voxels
+        if self.debug_outputs:
+            outputs["occ_init_logits"] = occ_logits
+            outputs["occ_init_mask"] = init_mask
 
         if targets is not None:
             tsdf_w = targets.tsdf[init_scale]
@@ -257,6 +262,10 @@ class EPReconCore(nn.Module):
                 dim, interval, origin_b, cfg.voxel_size, fop[scale], proj_s)
             if i == 0:
                 stage_mask = stage_mask & (count >= min_views)
+            if self.debug_outputs:
+                outputs[f"bp_vol_{i}"] = volume
+                outputs[f"bp_count_{i}"] = count
+                outputs[f"stage_entry_{i}"] = stage_mask
 
             volume = volume.astype(jnp.bfloat16)
             feat = volume if prev_feats is None else jnp.concatenate(
@@ -289,6 +298,10 @@ class EPReconCore(nn.Module):
                 name=f"gru_fusion_{i}")(
                     feat_all, stage_mask, state.gmaps[i], frag.rel_origins[i])
             new_gmaps.append(new_gmap)
+            if self.debug_outputs:
+                outputs[f"stage_unet_{i}"] = feat3d
+                outputs[f"stage_fused_{i}"] = fused
+                outputs[f"stage_union_{i}"] = union
 
             if targets is not None:
                 tsdf_t, occ_t, new_tmap = fuse_target_window(
@@ -320,6 +333,10 @@ class EPReconCore(nn.Module):
             n_occ = jnp.sum(occupancy.astype(jnp.int32))
             frag_ok = frag_ok & (n_occ >= cfg.min_stage_voxels)
             outputs[f"n_occ_{i}"] = n_occ  # reference logs 'no valid points'
+            if self.debug_outputs:
+                outputs[f"stage_tsdf_{i}"] = tsdf
+                outputs[f"stage_occ_{i}"] = occ
+                outputs[f"occupancy_{i}"] = occupancy
 
             pano_feats_dense.append(jnp.where(occupancy[..., None], fused, 0.0))
             pano_masks.append(occupancy)
