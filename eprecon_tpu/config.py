@@ -127,6 +127,9 @@ class TrainConfig:
     only_init: bool = False
     only_occ: bool = False
     fuse_temporal: bool = True
+    # epoch-seeded scene-granularity shuffling (fragments stay ordered within
+    # a scene — GRU fusion needs temporal streams; reference trains unshuffled)
+    shuffle: bool = False
     # mixed precision for backbone/conv compute
     bf16: bool = True
     finetune_layer: Optional[str] = None  # e.g. 'init' to freeze the init stage
@@ -138,6 +141,11 @@ class TestConfig:
     path: str = ""
     n_views: int = 9
     n_workers: int = 4
+    # full depth-evaluation protocol after run_test (render predicted TSDF at
+    # held-out frames → AbsRel/RMSE/δ + trim re-fusion → trimmed F-score;
+    # reference tools/evaluation.py:85-208). 0 disables; N evaluates at most
+    # N frames per scene.
+    eval_depth_frames: int = 0
 
 
 @dataclass(frozen=True)

@@ -146,8 +146,13 @@ def train_epochs_sharded(cfg: Config, model, tstate: TrainState, step_fn,
     writer = SummaryWriter(cfg.logdir) if is_main_process() else None
     epochs = epochs or cfg.train.epochs
     start_epoch = int(tstate.epoch)
-    samplers = [ContiguousDistributedSampler(len(dataset), n_devices, d)
-                for d in range(n_devices)]
+    scene_ids = ([f.get("scene") for f in dataset.fragments]
+                 if cfg.train.shuffle and hasattr(dataset, "fragments")
+                 else None)
+    samplers = [ContiguousDistributedSampler(
+        len(dataset), n_devices, d,
+        shuffle=cfg.train.shuffle and scene_ids is not None,
+        seed=cfg.seed, scene_ids=scene_ids) for d in range(n_devices)]
     fresh = make_recurrent_state(cfg.model)
     rec = _tree_stack([fresh] * n_devices)
     scenes = [None] * n_devices
@@ -158,6 +163,8 @@ def train_epochs_sharded(cfg: Config, model, tstate: TrainState, step_fn,
         meter = MetricsMeter()
         t0 = time.time()
         dataset.epoch = epoch
+        for s in samplers:
+            s.set_epoch(epoch)
         streams = [iter(s) for s in samplers]
         while True:
             try:
@@ -231,8 +238,12 @@ def evaluate(cfg: Config, reconstructor, dataset_iter: Iterable[dict],
     n = 0
     t0 = time.time()
     results = []
-    meter = MetricsMeter()
-    pending_losses = []  # device scalars, read back at the end
+    # loss sums accumulate ON DEVICE (one jnp add per fragment, no readback —
+    # a scalar readback costs ~30 ms through the relay, so per-fragment
+    # transfers would add minutes over a 500-fragment split); everything is
+    # fetched in ONE stacked transfer at the end
+    loss_sums: Dict[str, jnp.ndarray] = {}
+    loss_count = 0
     for data in dataset_iter:
         targets = None
         if with_losses and "tsdf_list" in data:
@@ -251,7 +262,9 @@ def evaluate(cfg: Config, reconstructor, dataset_iter: Iterable[dict],
             world_to_aligned_camera=data["world_to_aligned_camera"],
             targets=targets)
         if targets is not None and reconstructor.last_losses:
-            pending_losses.append(reconstructor.last_losses)
+            for k, v in reconstructor.last_losses.items():
+                loss_sums[k] = v if k not in loss_sums else loss_sums[k] + v
+            loss_count += 1
         if finished is not None:
             results.append(finished)
             if out_dir:
@@ -276,11 +289,13 @@ def evaluate(cfg: Config, reconstructor, dataset_iter: Iterable[dict],
             save_scene(final, out_dir)
         score_scene(final)
     dt = time.time() - t0
-    for losses in pending_losses:
-        meter.update({k: float(v) for k, v in losses.items()})
-    if meter.count:
-        means = {k: round(v, 4) for k, v in meter.mean().items()}
-        log_fn(f"eval losses over {meter.count} fragments: {means}")
+    if loss_count:
+        keys = list(loss_sums)
+        vals = np.asarray(jnp.stack([jnp.asarray(loss_sums[k], jnp.float32)
+                                     for k in keys]))  # ONE device transfer
+        means = {k: round(float(v) / loss_count, 4)
+                 for k, v in zip(keys, vals)}
+        log_fn(f"eval losses over {loss_count} fragments: {means}")
     log_fn(f"{n} fragments in {dt:.1f}s "
            f"({n * cfg.test.n_views / max(dt, 1e-9):.1f} keyframes/s)")
     return results
