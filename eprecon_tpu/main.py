@@ -131,6 +131,14 @@ def run_test(cfg):
     gt_dir = os.path.join(cfg.test.path, "all_tsdf_9")
     evaluate(cfg, recon, iter_all(), out_dir=out_dir,
              gt_dir=gt_dir if os.path.isdir(gt_dir) else None)
+    if cfg.test.eval_depth_frames > 0:
+        # full depth protocol over the saved scenes (reference
+        # tools/evaluation.py:161-208): held-out frames come from the same
+        # prepared tree the dataset read
+        from eprecon_tpu.tools.evaluation import main as eval_main
+
+        eval_main(["--result_dir", out_dir, "--data_path", cfg.test.path,
+                   "--max_frames", str(cfg.test.eval_depth_frames)])
 
 
 def main(argv=None):

@@ -100,8 +100,14 @@ def trim_tsdf(depths, intrinsics, poses, origin, dim, voxel_size: float = 0.06):
 
 def evaluate_scene(pred_npz: str, gt_mesh_verts: np.ndarray,
                    test_frames: Optional[dict] = None,
-                   max_frames: int = 200) -> Dict[str, float]:
-    """Full per-scene protocol (reference evaluation.py:85-158)."""
+                   max_frames: int = 200,
+                   trim_voxel: float = 0.04) -> Dict[str, float]:
+    """Full per-scene protocol (reference evaluation.py:85-158): render the
+    predicted TSDF at every held-out frame → 2D depth metrics → re-fuse the
+    rendered depth at `trim_voxel` (reference voxel_length=0.04, :103) to
+    trim hole fill → mesh metrics on the trimmed surface. The trim voxel is
+    clamped to at least the prediction's own voxel size (coarse test configs
+    would otherwise re-fuse onto a finer grid than the prediction holds)."""
     from eprecon_tpu.inference.mesh_export import marching_cubes
     from eprecon_tpu.tools.evaluation_utils import eval_depth, eval_mesh
 
@@ -132,11 +138,12 @@ def evaluate_scene(pred_npz: str, gt_mesh_verts: np.ndarray,
         for key in depth_metrics[0]:
             metrics[key] = float(np.nanmean([m[key] for m in depth_metrics]))
         # trim: re-fuse rendered depth, evaluate the trimmed surface
-        dim = tuple(int(np.ceil(s * vsz / 0.06)) + 1 for s in tsdf.shape)
-        t_trim, _ = trim_tsdf(rendered, used_k, used_p, origin, dim, 0.06)
+        tv = max(trim_voxel, vsz)
+        dim = tuple(int(np.ceil(s * vsz / tv)) + 1 for s in tsdf.shape)
+        t_trim, _ = trim_tsdf(rendered, used_k, used_p, origin, dim, tv)
         if (np.abs(t_trim) < 1).any():
             verts, _, _ = marching_cubes(t_trim)
-            verts_pred = verts * 0.06 + origin[None, :]
+            verts_pred = verts * tv + origin[None, :]
         else:
             verts_pred = np.zeros((0, 3))
     else:
@@ -216,6 +223,118 @@ def evaluate_scene_vs_gt(result, gt_dir: str,
     return metrics
 
 
+def load_test_frames(data_path: str, scene: str,
+                     max_frames: Optional[int] = None) -> Optional[dict]:
+    """Held-out eval frames (depth maps + depth intrinsics + poses) from a
+    ScanNet-layout scene directory (reference tools/evaluation.py:60-84 reads
+    them from the .sens stream; the prepared tree stores the same content as
+    depth/<id>.png + intrinsic/intrinsic_depth.txt + pose/<id>.txt).
+
+    Frames with non-finite poses are skipped (real ScanNet has them).
+    Returns None when the scene directory is absent.
+    """
+    import cv2
+
+    root = None
+    for sub in ("scans_test", "scans"):
+        cand = os.path.join(data_path, sub, scene)
+        if os.path.isdir(cand):
+            root = cand
+            break
+    if root is None:
+        return None
+    ids = sorted(int(f[:-4]) for f in os.listdir(os.path.join(root, "depth"))
+                 if f.endswith(".png"))
+    if max_frames is not None and len(ids) > max_frames:
+        ids = [ids[i] for i in
+               np.linspace(0, len(ids) - 1, max_frames).astype(int)]
+    intr_path = os.path.join(root, "intrinsic", "intrinsic_depth.txt")
+    if not os.path.exists(intr_path):
+        intr_path = os.path.join(root, "intrinsic", "intrinsic_color.txt")
+    intr = np.loadtxt(intr_path).astype(np.float32)[:3, :3]
+    frames = {"depths": [], "intrinsics": [], "poses": []}
+    for i in ids:
+        pose = np.loadtxt(os.path.join(root, "pose", f"{i}.txt")).astype(
+            np.float32)
+        if not np.isfinite(pose).all():
+            continue
+        d = cv2.imread(os.path.join(root, "depth", f"{i}.png"),
+                       cv2.IMREAD_UNCHANGED).astype(np.float32) / 1000.0
+        frames["depths"].append(d)
+        frames["intrinsics"].append(intr)
+        frames["poses"].append(pose)
+    return frames if frames["depths"] else None
+
+
+def gt_scene_verts(gt_dir: str, scene: str) -> Optional[np.ndarray]:
+    """World-frame GT surface vertices from the generated GT volumes
+    (marching cubes over full_tsdf_layer0; the reference compares against
+    <scene>_vh_clean_2.ply mesh vertices — same protocol, different source
+    because GT here is the fused volume)."""
+    from eprecon_tpu.inference.mesh_export import marching_cubes
+
+    root = os.path.join(gt_dir, scene)
+    tsdf_p = os.path.join(root, "full_tsdf_layer0.npz")
+    if not os.path.exists(tsdf_p):
+        return None
+    gt_tsdf = np.load(tsdf_p, allow_pickle=True)["arr_0"]
+    if not (np.abs(gt_tsdf) < 1).any():
+        return None
+    info = os.path.join(root, "tsdf_info.npz")
+    origin = (np.load(info)["vol_origin"].astype(np.float32)
+              if os.path.exists(info) else np.zeros(3, np.float32))
+    info_d = np.load(info) if os.path.exists(info) else {}
+    vsz = float(info_d["voxel_size"]) if "voxel_size" in info_d else 0.04
+    verts, _, _ = marching_cubes(gt_tsdf)
+    return verts * vsz + origin[None, :]
+
+
+def main(argv=None):
+    """Batch depth-protocol evaluation over saved scene volumes (reference
+    tools/evaluation.py:161-208 __main__): for every <scene>.npz in
+    --result_dir, render predicted depth at the held-out test frames,
+    compute 2D depth metrics, trim-refuse, score the trimmed mesh against
+    GT, merge into <scene>_metrics.json, and print the nanmean table.
+
+      python -m eprecon_tpu.tools.evaluation --result_dir out/scenes \\
+          --data_path /data/scannet [--gt_dir .../all_tsdf_9] [--max_frames N]
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser("eprecon-tpu scene evaluation")
+    ap.add_argument("--result_dir", required=True,
+                    help="directory of <scene>.npz saved by run_test")
+    ap.add_argument("--data_path", required=True,
+                    help="ScanNet-layout root (scans[_test]/<scene>/...)")
+    ap.add_argument("--gt_dir", default=None,
+                    help="GT volume dir (default <data_path>/all_tsdf_9)")
+    ap.add_argument("--max_frames", type=int, default=200)
+    args = ap.parse_args(argv)
+    gt_dir = args.gt_dir or os.path.join(args.data_path, "all_tsdf_9")
+
+    scenes = sorted(f[:-4] for f in os.listdir(args.result_dir)
+                    if f.endswith(".npz"))
+    for scene in scenes:
+        gt_verts = gt_scene_verts(gt_dir, scene)
+        if gt_verts is None:
+            print(f"{scene}: no GT volume under {gt_dir}, skipped")
+            continue
+        frames = load_test_frames(args.data_path, scene, args.max_frames)
+        m = evaluate_scene(os.path.join(args.result_dir, f"{scene}.npz"),
+                           gt_verts, frames, max_frames=args.max_frames)
+        mpath = os.path.join(args.result_dir, f"{scene}_metrics.json")
+        merged = {}
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                merged = json.load(fh)
+        merged.update({k: float(v) for k, v in m.items()})
+        with open(mpath, "w") as fh:
+            json.dump(merged, fh)
+        print(f"{scene}: " + " ".join(
+            f"{k}={v:.4f}" for k, v in m.items() if isinstance(v, float)))
+    return visualize_metrics(args.result_dir)
+
+
 def visualize_metrics(result_dir: str, keys=("AbsRel", "AbsDiff", "SqRel",
                                              "RMSE", "LogRMSE", "r1", "r2",
                                              "r3", "complete", "dist1",
@@ -235,3 +354,7 @@ def visualize_metrics(result_dir: str, keys=("AbsRel", "AbsDiff", "SqRel",
     for k, v in means.items():
         print(f"{k:10s} {v:.4f}")
     return means
+
+
+if __name__ == "__main__":
+    main()
