@@ -37,18 +37,38 @@ class Scene:
             self.floor_color = np.array([120.0, 120.0, 120.0])
 
 
-def make_scene(seed: int = 0, n_boxes: int = 3, extent: float = 3.0) -> Scene:
+WALL_CLASS = 1           # nyu40 wall
+
+
+def make_scene(seed: int = 0, n_boxes: int = 3, extent: float = 3.0,
+               n_rooms: int = 1, room_pitch: float = 4.0) -> Scene:
+    """n_rooms > 1 lays out `n_boxes` things per room along +x with a
+    doorway-gapped dividing wall (class 1 stuff) between adjacent rooms —
+    scenes larger than one fragment window, for multi-fragment streaming."""
     rng = np.random.default_rng(seed)
     boxes = []
-    for i in range(n_boxes):
-        center = rng.uniform(-extent / 2 + 0.6, extent / 2 - 0.6, 3)
-        size = rng.uniform(0.3, 0.9, 3)
-        lo = center - size / 2
-        hi = center + size / 2
-        lo[2] = 0.0
-        hi[2] = max(hi[2], 0.3)
-        boxes.append(Box(lo, hi, int(rng.choice(THING_CLASSES)), 3 + i,
-                         rng.uniform(40, 230, 3)))
+    inst = 3
+    for room in range(n_rooms):
+        cx = room * room_pitch
+        for _ in range(n_boxes):
+            center = rng.uniform(-extent / 2 + 0.6, extent / 2 - 0.6, 3)
+            center[0] += cx
+            size = rng.uniform(0.3, 0.9, 3)
+            lo = center - size / 2
+            hi = center + size / 2
+            lo[2] = 0.0
+            hi[2] = max(hi[2], 0.3)
+            boxes.append(Box(lo, hi, int(rng.choice(THING_CLASSES)), inst,
+                             rng.uniform(40, 230, 3)))
+            inst += 1
+        if room + 1 < n_rooms:
+            # dividing wall at x = cx + pitch/2, 1 m doorway at y ∈ [-0.5, 0.5]
+            wx = cx + room_pitch / 2
+            wall_color = np.array([200.0, 200.0, 200.0])
+            for ylo, yhi in ((-extent, -0.5), (0.5, extent)):
+                boxes.append(Box(np.array([wx - 0.05, ylo, 0.0]),
+                                 np.array([wx + 0.05, yhi, 2.2]),
+                                 WALL_CLASS, WALL_CLASS, wall_color))
     return Scene(boxes)
 
 
@@ -117,13 +137,15 @@ def render_view(scene: Scene, intr: np.ndarray, pose: np.ndarray,
 
 
 def orbit_poses(n_views: int, radius: float = 2.2, height: float = 1.4,
-                start: float = 0.0, sweep: float = 1.2) -> np.ndarray:
+                start: float = 0.0, sweep: float = 1.2,
+                center=(0.0, 0.0)) -> np.ndarray:
     """Camera-to-world poses on an arc looking at the scene center."""
     poses = []
     for i in range(n_views):
         a = start + sweep * i / max(n_views - 1, 1)
-        eye = np.array([radius * np.cos(a), radius * np.sin(a), height])
-        target = np.array([0.0, 0.0, 0.4])
+        eye = np.array([center[0] + radius * np.cos(a),
+                        center[1] + radius * np.sin(a), height])
+        target = np.array([center[0], center[1], 0.4])
         fwd = target - eye
         fwd /= np.linalg.norm(fwd)
         up = np.array([0.0, 0.0, 1.0])
@@ -137,6 +159,22 @@ def orbit_poses(n_views: int, radius: float = 2.2, height: float = 1.4,
         pose[:3, 3] = eye
         poses.append(pose)
     return np.stack(poses).astype(np.float32)
+
+
+def walkthrough_poses(n_views: int, n_rooms: int, room_pitch: float = 4.0,
+                      radius: float = 2.2, height: float = 1.4) -> np.ndarray:
+    """Room-by-room trajectory: a full orbit inside each room in sequence
+    (the multi-room analogue of a hand-held ScanNet capture — fragments
+    cross room boundaries mid-scene)."""
+    per = n_views // n_rooms
+    chunks = []
+    for r in range(n_rooms):
+        n = per if r + 1 < n_rooms else n_views - per * (n_rooms - 1)
+        chunks.append(orbit_poses(
+            n, radius=radius, height=height, start=0.3 * r,
+            sweep=2 * np.pi * (n - 1) / max(n, 1),
+            center=(r * room_pitch, 0.0)))
+    return np.concatenate(chunks)
 
 
 def voxel_labels(scene: Scene, origin: np.ndarray, voxel_size: float,

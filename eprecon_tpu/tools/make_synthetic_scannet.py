@@ -40,30 +40,65 @@ def _backproject_labeled_points(depth, intr, pose, sem, ins, stride=4):
     return pts_w, sem[ys, xs][ok], ins[ys, xs][ok]
 
 
+def _color_intrinsics(depth_intr: np.ndarray, depth_hw: Tuple[int, int],
+                      color_hw: Tuple[int, int]) -> np.ndarray:
+    """Color intrinsics consistent with real ScanNet's 1296×968 vs 640×480
+    split: x scales by w_c/w_d; y is laid out so that the loader's
+    pad_scannet step (cy += 2 then treat h as 972, reference
+    datasets/transforms.py:83-116) makes the padded color intrinsics exactly
+    proportional to the depth intrinsics."""
+    dh, dw = depth_hw
+    ch, cw = color_hw
+    sx = cw / dw
+    pad = 4 if (ch, cw) == (968, 1296) else 0  # 968 → 972 vertical pad
+    sy = (ch + pad) / dh
+    intr = depth_intr.copy()
+    intr[0, :] *= sx
+    intr[1, :] *= sy
+    intr[1, 2] -= pad / 2
+    return intr
+
+
 def write_scene(scans_dir: str, labels_dir: str, scene: str, seed: int = 0,
-                n_frames: int = 40, image_hw: Tuple[int, int] = (480, 640)):
+                n_frames: int = 40, image_hw: Tuple[int, int] = (480, 640),
+                color_hw: Tuple[int, int] = None, n_rooms: int = 1):
+    """image_hw is the DEPTH resolution (and color's, when color_hw is None).
+    color_hw=(968, 1296) reproduces real ScanNet's split color/depth
+    resolutions including the 968→972 pad relationship; n_rooms > 1 writes a
+    walkthrough of doorway-connected rooms spanning several fragment
+    windows."""
     import cv2
+
+    from eprecon_tpu.data.synthetic import walkthrough_poses
 
     root = os.path.join(scans_dir, scene)
     for sub in ("color", "depth", "pose", "intrinsic"):
         os.makedirs(os.path.join(root, sub), exist_ok=True)
     os.makedirs(labels_dir, exist_ok=True)
 
-    sc = make_scene(seed)
+    sc = make_scene(seed, n_rooms=n_rooms)
     h, w = image_hw
     f = 0.9 * w / 2
     intr = np.array([[f, 0, w / 2 - 0.5], [0, f, h / 2 - 0.5], [0, 0, 1]],
                     np.float32)
-    intr4 = np.eye(4, dtype=np.float32)
-    intr4[:3, :3] = intr
-    np.savetxt(os.path.join(root, "intrinsic", "intrinsic_color.txt"), intr4)
-    np.savetxt(os.path.join(root, "intrinsic", "intrinsic_depth.txt"), intr4)
+    color_intr = (intr if color_hw is None
+                  else _color_intrinsics(intr, image_hw, color_hw))
+    for name, k in (("intrinsic_color.txt", color_intr),
+                    ("intrinsic_depth.txt", intr)):
+        intr4 = np.eye(4, dtype=np.float32)
+        intr4[:3, :3] = k
+        np.savetxt(os.path.join(root, "intrinsic", name), intr4)
 
-    poses = orbit_poses(n_frames, start=0.0, sweep=2 * np.pi * (n_frames - 1)
-                        / n_frames)
+    if n_rooms > 1:
+        poses = walkthrough_poses(n_frames, n_rooms)
+    else:
+        poses = orbit_poses(n_frames, start=0.0,
+                            sweep=2 * np.pi * (n_frames - 1) / n_frames)
     all_pts, all_sem, all_ins = [], [], []
     for i in range(n_frames):
         depth, rgb, sem, ins = render_view(sc, intr, poses[i], image_hw)
+        if color_hw is not None:
+            _, rgb, _, _ = render_view(sc, color_intr, poses[i], color_hw)
         cv2.imwrite(os.path.join(root, "color", f"{i}.jpg"),
                     rgb.astype(np.uint8))
         cv2.imwrite(os.path.join(root, "depth", f"{i}.png"),
@@ -94,14 +129,21 @@ def main():
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--color_height", type=int, default=0,
+                    help="968 + --color_width 1296 = real ScanNet split")
+    ap.add_argument("--color_width", type=int, default=0)
+    ap.add_argument("--rooms", type=int, default=1)
     args = ap.parse_args()
 
     scans = os.path.join(args.out, "scans")
     labels = os.path.join(args.out, "labels")
+    color_hw = ((args.color_height, args.color_width)
+                if args.color_height and args.color_width else None)
     for s in range(args.scenes):
         scene = f"scene{s:04d}_00"
         write_scene(scans, labels, scene, seed=s, n_frames=args.frames,
-                    image_hw=(args.height, args.width))
+                    image_hw=(args.height, args.width), color_hw=color_hw,
+                    n_rooms=args.rooms)
         print(f"{scene}: wrote {args.frames} frames")
 
 
