@@ -154,18 +154,26 @@ def set_criterion(pred_logits_layers: jnp.ndarray, pred_masks_layers: jnp.ndarra
     """
     any_target = jnp.any(targets.valid)
 
+    # all layers matched in ONE batched auction: vmapping the while_loop runs
+    # the (L+1) independent assignment problems in lockstep (iteration count =
+    # max over layers) instead of (L+1) sequential device loops — the auction
+    # body is a no-op once a layer's targets are all assigned, so extra
+    # iterations don't perturb converged layers
+    assigns = jax.vmap(
+        lambda lg, mk: hungarian_match(lg, mk, targets.labels,
+                                       targets.masks.astype(jnp.float32),
+                                       targets.valid, targets.voxel_mask,
+                                       class_weight, mask_weight, dice_weight)
+    )(pred_logits_layers, pred_masks_layers)
+
     def layer_loss(carry, xs):
-        logits, masks = xs
-        assign = hungarian_match(logits, masks, targets.labels,
-                                 targets.masks.astype(jnp.float32),
-                                 targets.valid, targets.voxel_mask,
-                                 class_weight, mask_weight, dice_weight)
+        logits, masks, assign = xs
         lc = loss_labels(logits, targets, assign, eos_coef)
         lm, ld = loss_masks(masks, targets, assign)
         return carry + class_weight * lc + mask_weight * lm + dice_weight * ld, None
 
     total, _ = jax.lax.scan(layer_loss, jnp.asarray(0.0),
-                            (pred_logits_layers, pred_masks_layers))
+                            (pred_logits_layers, pred_masks_layers, assigns))
     total = total / 3.0
     # no valid targets → zero loss, keeping the graph alive
     return jnp.where(any_target, total, 0.0 * pred_masks_layers.sum())

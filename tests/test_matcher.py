@@ -65,3 +65,30 @@ def test_auction_no_valid_targets():
     cost = jnp.full((80, 48), 1e9)
     assign = np.asarray(matcher.auction_assign(cost, jnp.zeros(48, bool)))
     assert (assign == -1).all()
+
+
+def test_vmapped_layers_match_sequential(rng):
+    """set_criterion matches all decoder layers in ONE vmapped auction
+    (criterion.py); lockstep extra while-loop iterations must be no-ops for
+    already-converged layers, so the vmapped assignments must equal running
+    each layer's auction sequentially."""
+    import jax
+
+    q, t, l, nc, layers = 32, 12, 200, 20, 4
+    tgt_labels = jnp.asarray(rng.integers(1, nc + 1, t).astype(np.int32))
+    tgt_masks = jnp.asarray((rng.random((t, l)) < 0.3).astype(np.float32))
+    tgt_valid = jnp.asarray(np.arange(t) < 7)
+    vm = jnp.asarray(np.ones(l, bool))
+    logits = jnp.asarray(
+        rng.standard_normal((layers, q, nc + 1)).astype(np.float32))
+    masks = jnp.asarray(
+        rng.standard_normal((layers, q, l)).astype(np.float32))
+
+    batched = jax.vmap(
+        lambda lg, mk: matcher.hungarian_match(lg, mk, tgt_labels, tgt_masks,
+                                               tgt_valid, vm))(logits, masks)
+    for i in range(layers):
+        seq = matcher.hungarian_match(logits[i], masks[i], tgt_labels,
+                                      tgt_masks, tgt_valid, vm)
+        np.testing.assert_array_equal(np.asarray(batched[i]),
+                                      np.asarray(seq), err_msg=f"layer {i}")
