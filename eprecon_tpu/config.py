@@ -101,6 +101,14 @@ class ModelConfig:
     # window span for sparse-engine key packing (voxels); must be pow2 ≥ any
     # aligned-camera index range within a fragment.
     key_window: int = 512
+    # rematerialization granularity for the training backward pass:
+    #   "full"  — backbones, occ-init, U-Nets, GRU convs, decoder all
+    #             recomputed in the backward (lowest HBM, most recompute)
+    #   "light" — only the 2D backbones recomputed; 3D-window activations
+    #             are saved (the windows are bf16 and fit full-scale HBM)
+    #   "none"  — nothing rematerialized
+    # Inference is unaffected (remat is an AD-only transform).
+    remat_mode: str = "full"
 
     @property
     def n_scales(self) -> int:

@@ -199,8 +199,15 @@ class EPReconCore(nn.Module):
         init_shape = tuple(v // init_interval for v in cfg.n_vox)  # 48^3
 
         proj_init = frag.proj_matrices[:, None, init_scale]
-        occ_logits, init_mask, init_count = nn.remat(
-            OccupancyInitialization, static_argnums=(5, 6, 7))(
+        # remat granularity (cfg.remat_mode): "full" recomputes every 3D
+        # module in the backward; "light"/"none" save the window activations
+        # (A/B harness: tools_dev/bench_train_remat.py — run each mode in
+        # its own process on the TPU before changing the default)
+        remat3d = cfg.remat_mode == "full"
+        occ_init_cls = (nn.remat(OccupancyInitialization,
+                                 static_argnums=(5, 6, 7))
+                        if remat3d else OccupancyInitialization)
+        occ_logits, init_mask, init_count = occ_init_cls(
             use_running_average=self.use_running_average, name="initialization")(
                 f2d, origin_b, cfg.voxel_size, proj_init, init_shape,
                 init_interval, cfg.min_view_number)
@@ -278,9 +285,10 @@ class EPReconCore(nn.Module):
                                         frag.world_to_aligned_camera)
             from eprecon_tpu.models.unet_dense import DenseUNet
 
-            # remat: recompute 96^3-window activations in the backward pass —
-            # without it the full-scale training step exceeds HBM
-            feat3d = nn.remat(DenseUNet)(
+            # remat (mode "full"): recompute 96^3-window activations in the
+            # backward pass instead of saving them
+            unet_cls = nn.remat(DenseUNet) if remat3d else DenseUNet
+            feat3d = unet_cls(
                 cr=1.0 / 2 ** i, dropout=cfg.sparsereg_dropout,
                 use_running_average=self.use_running_average,
                 name=f"sp_conv_{i}")(
@@ -294,7 +302,7 @@ class EPReconCore(nn.Module):
             # applied INSIDE (conv compute only) so the global-map
             # slice/writeback is not recomputed in the backward pass
             fused, union, new_gmap = DenseGRUFusion(
-                ch_voxel=channels[i], ch_img=ch_init[i],
+                ch_voxel=channels[i], ch_img=ch_init[i], remat=remat3d,
                 name=f"gru_fusion_{i}")(
                     feat_all, stage_mask, state.gmaps[i], frag.rel_origins[i])
             new_gmaps.append(new_gmap)
@@ -424,7 +432,9 @@ class EPReconCore(nn.Module):
             jnp.arange(fine_sv.coords.shape[0], dtype=jnp.int32),
         ]
 
-        dec = nn.remat(MaskedTransformerDecoder, static_argnums=(5,))(
+        dec_cls = (nn.remat(MaskedTransformerDecoder, static_argnums=(5,))
+                   if remat3d else MaskedTransformerDecoder)
+        dec = dec_cls(
             num_classes=cfg.panoptic.num_classes,
             hidden_dim=pano_ch, num_queries=cfg.panoptic.num_queries,
             num_heads=cfg.panoptic.nheads,
@@ -477,10 +487,11 @@ class EPRecon(nn.Module):
         """imgs: [V, H, W, 3] BGR float; returns (outputs, losses, state)."""
         x = self.normalize(imgs)
         alpha = self.cfg.backbone2d.alpha
-        feats2d = nn.remat(MnasMulti)(alpha, self.use_running_average,
-                                      name="backbone2d")(x)
-        feats_op = nn.remat(MnasMulti)(alpha, self.use_running_average,
-                                       name="backbone_occ_pano")(x)
+        bb_cls = (MnasMulti if self.cfg.remat_mode == "none"
+                  else nn.remat(MnasMulti))
+        feats2d = bb_cls(alpha, self.use_running_average, name="backbone2d")(x)
+        feats_op = bb_cls(alpha, self.use_running_average,
+                          name="backbone_occ_pano")(x)
         outputs, losses, new_state = EPReconCore(
             self.cfg, self.use_running_average, name="neucon_net")(
                 feats2d, feats_op, frag, state, targets, only_train_init)

@@ -107,6 +107,7 @@ class DenseGRUFusion(nn.Module):
     (reference gru_fusion.py:259-394, FUSION.FULL, batch=1)."""
     ch_voxel: int
     ch_img: int
+    remat: bool = True  # recompute the GRU convs in the backward pass
 
     @nn.compact
     def __call__(self, cur_feats: jnp.ndarray, cur_mask: jnp.ndarray,
@@ -127,10 +128,9 @@ class DenseGRUFusion(nn.Module):
         # stay outside the remat boundary, otherwise the backward pass
         # recomputes full-volume dynamic_update_slices (~2.5 ms copies of the
         # [256,256,6144] map per level per direction, measured on v5e)
-        fv = nn.remat(DenseConvGRU)(cv, name="gru_voxel")(
-            h[..., :cv], x[..., :cv], union)
-        fi = nn.remat(DenseConvGRU)(self.ch_img, name="gru_img")(
-            h[..., cv:], x[..., cv:], union)
+        gru = nn.remat(DenseConvGRU) if self.remat else DenseConvGRU
+        fv = gru(cv, name="gru_voxel")(h[..., :cv], x[..., :cv], union)
+        fi = gru(self.ch_img, name="gru_img")(h[..., cv:], x[..., cv:], union)
         fused = jnp.concatenate([fv, fi], axis=-1)
         fused = jnp.where(union[..., None], fused, 0)
 
