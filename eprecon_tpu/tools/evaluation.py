@@ -193,33 +193,34 @@ def evaluate_scene_vs_gt(result, gt_dir: str,
     sem_p = os.path.join(root, "full_semantic_layer_interpolate0.npz")
     ins_p = os.path.join(root, "full_instance_layer_interpolate0.npz")
     if os.path.exists(sem_p) and os.path.exists(ins_p) and gt_origin is not None:
+        from eprecon_tpu.tools.evaluation_utils import transfer_labels_to_gt
+
         gt_sem = np.load(sem_p, allow_pickle=True)["arr_0"]
         gt_ins = np.load(ins_p, allow_pickle=True)["arr_0"]
         gt_occ = np.abs(gt_tsdf) < 0.999
-        # resample prediction onto the GT grid by integer offset
-        off = np.round((gt_origin - result.origin) / vsz).astype(int)
-        idx = np.stack(np.meshgrid(*[np.arange(s) for s in gt_tsdf.shape],
-                                   indexing="ij"), -1) + off
-        inb = ((idx >= 0) & (idx < np.array(result.tsdf.shape))).all(-1)
-        ic = np.clip(idx, 0, np.array(result.tsdf.shape) - 1)
-        pred_ins = np.where(inb, result.instance[ic[..., 0], ic[..., 1],
-                                                 ic[..., 2]], 0)
-        pred_sem = np.where(inb, result.semantic[ic[..., 0], ic[..., 1],
-                                                 ic[..., 2]], 0)
-        sel = gt_occ & ((gt_ins > 0) | (pred_ins > 0))
+        # reference protocol: predicted labels are transferred onto the GT
+        # geometry by nearest neighbour before PQ (the ScanNet benchmark's
+        # treatment of the per-vertex export from
+        # reference tools/generate_semantic_instance.py:54-80)
+        sel3 = gt_occ & (gt_ins > 0)
+        pred_sem, pred_ins = transfer_labels_to_gt(
+            result.semantic, result.instance, result.origin, sel3,
+            gt_origin, vsz)
+        gt_sem_v = gt_sem[sel3]
+        gt_ins_v = gt_ins[sel3]
+
         # per-segment class maps by majority vote
         def cls_map(seg, sem):
-            ids = np.unique(seg[sel])
             out = {}
-            for i in ids:
+            for i in np.unique(seg):
                 if i == 0:
                     continue
-                vals = sem[sel][seg[sel] == i]
+                vals = sem[seg == i]
                 out[int(i)] = int(np.bincount(vals).argmax()) if len(vals) else 0
             return out
         metrics.update(panoptic_quality(
-            pred_ins[sel], cls_map(pred_ins, pred_sem),
-            gt_ins[sel], cls_map(gt_ins, gt_sem)))
+            pred_ins, cls_map(pred_ins, pred_sem),
+            gt_ins_v, cls_map(gt_ins_v, gt_sem_v)))
     return metrics
 
 

@@ -3,63 +3,26 @@
 VERDICT round-1 Weak #4: nothing closed the loop model → mesh → metric.
 This trains the tiny config briefly on one synthetic scene, reconstructs it
 with the trained weights, and asserts the mesh F-score against the scene's
-fused GT clears a floor (and that PQ is produced). Floors are deliberately
+fused GT clears a floor, then runs the full PQ-vs-GT label-transfer
+protocol (the hour-scale PQ *floor* lives in tests/test_quality_pq.py —
+36 steps do not train the decoder; see that file). Floors are deliberately
 modest — this is a regression tripwire, not a benchmark.
 """
-import dataclasses
-
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from eprecon_tpu.config import default_config
-from eprecon_tpu.data.synthetic import make_fragment, make_scene
 from eprecon_tpu.models.eprecon import make_recurrent_state
 from eprecon_tpu.train.loop import fragment_to_device_args, _scene_origin
 from eprecon_tpu.train.state import create_train_state, make_train_step
-
-
-def tiny_cfg():
-    cfg = default_config()
-    pan = dataclasses.replace(cfg.model.panoptic, num_queries=16, dec_layers=2,
-                              max_instances=8, hidden_dim=16, nheads=4,
-                              min_instance_voxels=10)
-    # abort floors scale with the window: the reference aborts at 500 of
-    # ~15000+ candidate voxels (~3%, neucon_network.py:469-471); 50 of this
-    # config's 512-voxel coarse window (~10%) sits ON the abort cliff and a
-    # marginal occupancy prediction death-spirals (frag_ok gates every stage
-    # loss off, permanently — observed collapsing by step 12)
-    # occ_init_threshold 0.05: in the first ~30 steps the init head converges
-    # to its class prior (sigmoid≈0.08 at ~5% positives, pos_weight 1.5)
-    # BEFORE the variance features become discriminative; at the production
-    # 0.3 threshold that empties every stage mask mid-training and the run
-    # never recovers within the test budget
-    m = dataclasses.replace(
-        cfg.model, n_vox=(32, 32, 32), voxel_size=0.12,
-        voxel_capacity=(512, 2048, 8192), global_extent=(64, 64, 32),
-        min_init_voxels=50, min_stage_voxels=10, occ_init_threshold=0.05,
-        panoptic=pan)
-    t = dataclasses.replace(cfg.train, lr=1e-3, accumulation_steps=1)
-    return dataclasses.replace(cfg, model=m, train=t)
+from tests.quality_utils import (build_scene_and_fragments, score_vs_gt,
+                                 tiny_cfg, train_state_to_variables)
 
 
 @pytest.mark.slow
 def test_train_reconstruct_fscore():
     cfg = tiny_cfg()
-    scene = make_scene(3)
-    frags = [make_fragment(n_views=5, image_hw=(96, 128), n_vox=cfg.model.n_vox,
-                           voxel_size=cfg.model.voxel_size, seed=3, scene=scene,
-                           start_angle=a) for a in (0.0, 0.6, 1.2)]
-    samples = []
-    for i, d in enumerate(frags):
-        samples.append(dict(
-            scene="s", imgs=d["imgs"], proj_matrices=d["proj_matrices"],
-            vol_origin=d["vol_origin_partial"],
-            vol_origin_partial=d["vol_origin_partial"],
-            world_to_aligned_camera=d["world_to_aligned_camera"],
-            tsdf_list=d["tsdf_levels"], occ_list=d["occ_levels"],
-            semantic=d["semantic"], instance=d["instance"]))
+    scene, frags, samples = build_scene_and_fragments(cfg)
 
     origin = _scene_origin(cfg, samples[0])
     args = [fragment_to_device_args(cfg, s, origin) for s in samples]
@@ -84,48 +47,40 @@ def test_train_reconstruct_fscore():
     assert np.isfinite(last_loss)
     assert last_loss < 0.7 * first_loss, (first_loss, last_loss)
 
-    # reconstruct with the trained weights
-    from eprecon_tpu.inference.pipeline import StreamingReconstructor
-    from eprecon_tpu.tools.evaluation_utils import eval_mesh
-    from eprecon_tpu.inference.mesh_export import marching_cubes
-
-    variables = {"params": tstate.params, **tstate.batch_stats}
-    variables = {"params": variables["params"],
-                 "batch_stats": tstate.batch_stats["batch_stats"],
-                 **({"buffers": tstate.batch_stats["buffers"]}
-                    if tstate.batch_stats.get("buffers") else {})}
-    recon = StreamingReconstructor(cfg, variables)
-    for d in frags:
-        recon.process_fragment("s", d["imgs"], d["proj_matrices"],
-                               d["vol_origin_partial"],
-                               d["vol_origin_partial"],
-                               d["world_to_aligned_camera"])
-    out = recon.flush()
+    # reconstruct with the trained weights and score vs GT: mesh F-score
+    # plus the full PQ-vs-GT label-transfer protocol
+    m, out = score_vs_gt(cfg, train_state_to_variables(tstate), frags, scene,
+                         return_result=True)
     assert out is not None
 
-    # GT surface: the finest fused GT window of each fragment
+    # calibrated F-score: pred mesh vs the finest fused GT window of each
+    # fragment (score_vs_gt's full-grid GT re-fusion is stricter and has no
+    # 36-step calibration — measured ~0.5 where this scores 0.83)
+    from eprecon_tpu.inference.mesh_export import marching_cubes
+    from eprecon_tpu.tools.evaluation_utils import eval_mesh
+
     gt_verts = []
     for d in frags:
         t = d["tsdf_levels"][0]
         if (np.abs(t) < 1).any():
             v, _, _ = marching_cubes(t)
             gt_verts.append(v * cfg.model.voxel_size + d["vol_origin_partial"])
-    gt_verts = np.concatenate(gt_verts)
     pv, _, _ = marching_cubes(out.tsdf)
-    pred_verts = pv * out.voxel_size + out.origin
-
-    m = eval_mesh(pred_verts, gt_verts, threshold=0.15, down_sample=0.06)
-    # measured 0.83 at 36 steps (tools_dev/repro_quality.py); 0.6 floor
-    # catches regressions like the clamp-skew state (0.57) with headroom
-    assert m["fscore"] > 0.6, m
-
-    # panoptic quality is produced (value floor is not asserted — 36 steps
-    # do not train the decoder; presence + finiteness is the regression)
-    from eprecon_tpu.tools.evaluation_utils import panoptic_quality
-
-    ins = out.instance.reshape(-1)
-    sem = out.semantic.reshape(-1)
-    ids = [int(i) for i in np.unique(ins) if i != 0]
-    cls = {i: int(np.bincount(sem[ins == i]).argmax()) for i in ids}
-    pq = panoptic_quality(ins, cls, ins, cls)  # self-PQ sanity: perfect match
-    assert pq["RQ"] in (0.0, 1.0) and np.isfinite(pq["PQ"])
+    mw = eval_mesh(pv * out.voxel_size + out.origin,
+                   np.concatenate(gt_verts), threshold=0.15, down_sample=0.06)
+    # calibration history: 0.83 at 36 steps under round-2 half-pixel
+    # upsampling; the corner-aligned torchsparse-devoxelize semantics
+    # (commit 2164ee7, required for reference-checkpoint parity) moved the
+    # tiny-config trajectory to 0.509 at 36 steps — deterministic across
+    # reruns, and consistent with the trained plateau (0.514 at step 100,
+    # tools_dev/quality_pq_experiment.py). 0.4 floor keeps the tripwire
+    # (clamp-skew-class regressions scored ~0.0 full-grid) with headroom.
+    assert mw["fscore"] > 0.4, (mw, m)
+    # 36 steps do not train the decoder (the classifier's max softmax must
+    # clear the 0.3 keep threshold before ANY instance is emitted, ~step
+    # 100), so PQ has no floor here — assert the protocol runs and its
+    # outputs are well-formed. tests/test_quality_pq.py (-m quality_pq)
+    # holds the trained floor: PQ-vs-GT 0.493 measured at step 100.
+    assert m["n_gt_inst"] > 0
+    for k in ("PQ", "SQ", "RQ"):
+        assert 0.0 <= m[k] <= 1.0, m
