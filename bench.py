@@ -36,18 +36,26 @@ def main():
     cfg = default_config()
     n_views = cfg.train.n_views
 
+    # cache the synthetic fragment INCLUDING training targets (the train-step
+    # benchmark below needs tsdf/occ/label windows; regenerate a pre-target
+    # cache once)
     frag_cache = os.path.expanduser("~/.cache/eprecon_bench_fragment.npz")
+    d = None
     if os.path.exists(frag_cache):
         z = np.load(frag_cache)
-        d = {k: z[k] for k in z.files}
-    else:
+        if "semantic" in z.files:
+            d = {k: z[k] for k in z.files}
+    if d is None:
         d = make_fragment(n_views=n_views, image_hw=(480, 640),
                           n_vox=cfg.model.n_vox,
                           voxel_size=cfg.model.voxel_size, seed=0)
-        np.savez_compressed(frag_cache, imgs=d["imgs"],
-                            proj_matrices=d["proj_matrices"],
-                            vol_origin_partial=d["vol_origin_partial"],
-                            world_to_aligned_camera=d["world_to_aligned_camera"])
+        np.savez_compressed(
+            frag_cache, imgs=d["imgs"], proj_matrices=d["proj_matrices"],
+            vol_origin_partial=d["vol_origin_partial"],
+            world_to_aligned_camera=d["world_to_aligned_camera"],
+            semantic=d["semantic"], instance=d["instance"],
+            **{f"tsdf_{i}": t for i, t in enumerate(d["tsdf_levels"])},
+            **{f"occ_{i}": o for i, o in enumerate(d["occ_levels"])})
     frag = FragmentInputs(
         proj_matrices=jnp.asarray(d["proj_matrices"]),
         vol_origin_partial=jnp.asarray(d["vol_origin_partial"]),
@@ -106,11 +114,53 @@ def main():
     # can go negative, which would corrupt the driver's recorded metric
     p50_ms = max(0.0, statistics.median(lats) * 1e3 - relay_ms)
 
-    print(json.dumps({"metric": "keyframes_per_sec",
-                      "value": round(kfps, 2), "unit": "kf/s",
-                      "vs_baseline": round(kfps / 33.0, 3),
-                      "p50_fragment_latency_ms": round(p50_ms, 1),
-                      "relay_readback_floor_ms": round(relay_ms, 1)}))
+    # full-scale training-step throughput (VERDICT r2 #6). Guarded: a train
+    # OOM/compile failure must never take down the headline metric.
+    train_ms = None
+    if os.environ.get("EPRECON_BENCH_TRAIN", "1") == "1":
+        import signal
+
+        def _alarm(signum, frame):
+            raise TimeoutError("train-step bench exceeded its time budget")
+
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(int(os.environ.get("EPRECON_BENCH_TRAIN_BUDGET_S",
+                                        "1500")))
+        try:
+            from eprecon_tpu.models.eprecon import FragmentTargets
+            from eprecon_tpu.train.state import (create_train_state,
+                                                 make_train_step)
+
+            targets = FragmentTargets(
+                tsdf=tuple(jnp.asarray(d[f"tsdf_{i}"]) for i in range(3)),
+                occ=tuple(jnp.asarray(d[f"occ_{i}"]) for i in range(3)),
+                semantic=jnp.asarray(d["semantic"]),
+                instance=jnp.asarray(d["instance"]))
+            rec = make_recurrent_state(cfg.model)
+            tstate, tmodel, tx = create_train_state(
+                cfg, jax.random.PRNGKey(0), (imgs, frag, rec, targets))
+            tstep = make_train_step(tmodel, tx, cfg)
+            for _ in range(3):
+                tstate, rec, tmetrics = tstep(tstate, imgs, frag, targets, rec)
+            float(tmetrics["total_loss"])
+            t0 = time.perf_counter()
+            for _ in range(5):
+                tstate, rec, tmetrics = tstep(tstate, imgs, frag, targets, rec)
+            float(tmetrics["total_loss"])
+            train_ms = (time.perf_counter() - t0) * 1e3 / 5
+        except Exception as e:  # pragma: no cover - diagnostic path
+            print(f"# train-step bench failed: {e}", file=sys.stderr)
+        finally:
+            signal.alarm(0)
+
+    result = {"metric": "keyframes_per_sec",
+              "value": round(kfps, 2), "unit": "kf/s",
+              "vs_baseline": round(kfps / 33.0, 3),
+              "p50_fragment_latency_ms": round(p50_ms, 1),
+              "relay_readback_floor_ms": round(relay_ms, 1)}
+    if train_ms is not None:
+        result["train_step_ms"] = round(train_ms, 1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
