@@ -14,10 +14,38 @@ import sys
 import time
 
 
+def _arm_init_watchdog():
+    """Fail fast if TPU backend init hangs (dead axon relay).
+
+    A wedged relay makes jax.devices() block forever with no listener on the
+    relay ports; exiting with a clear error beats hanging through the
+    driver's whole timeout. Disarmed after the first device computation.
+    """
+    import os
+    import threading
+
+    budget = float(os.environ.get("EPRECON_BENCH_INIT_BUDGET_S", "600"))
+    disarm = threading.Event()
+
+    def watch():
+        if not disarm.wait(budget):
+            print(f"# FATAL: TPU backend init exceeded {budget:.0f}s — "
+                  "axon relay is likely dead (no listener on relay ports)",
+                  file=sys.stderr, flush=True)
+            os._exit(2)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return disarm
+
+
 def main():
     import os
 
+    _init_ok = _arm_init_watchdog()
     import jax
+
+    jax.devices()  # force backend init under the watchdog
+    _init_ok.set()
 
     cache = os.path.expanduser(f"~/.cache/jax_compilation_{jax.default_backend()}")
     os.makedirs(cache, exist_ok=True)
