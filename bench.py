@@ -22,7 +22,20 @@ def _arm_init_watchdog():
     driver's whole timeout. Disarmed after the first device computation.
     """
     import os
+    import socket
     import threading
+
+    # Definitive dead-relay check: the axon relay (/root/.tpu_init.py)
+    # listens on 127.0.0.1:8082; connection refused means it is not
+    # running and jax.devices() would block forever.
+    if os.environ.get("JAX_PLATFORMS", "axon") == "axon":
+        try:
+            socket.create_connection(("127.0.0.1", 8082), timeout=5).close()
+        except OSError:
+            print("# FATAL: axon relay is not listening on 127.0.0.1:8082 — "
+                  "TPU unreachable, refusing to hang", file=sys.stderr,
+                  flush=True)
+            sys.exit(2)
 
     budget = float(os.environ.get("EPRECON_BENCH_INIT_BUDGET_S", "600"))
     disarm = threading.Event()

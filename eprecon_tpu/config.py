@@ -109,6 +109,15 @@ class ModelConfig:
     #   "none"  — nothing rematerialized
     # Inference is unaffected (remat is an AD-only transform).
     remat_mode: str = "full"
+    # back-projection gather adjoint (training backward only):
+    #   "scatter" — XLA's default gather VJP: one scatter-add row per
+    #               gathered row (884,736/view at the fine stage)
+    #   "sorted"  — sort cotangent rows by destination pixel and
+    #               segment-sum, so the scatter sees each of the 19,200
+    #               destinations once (ops/back_project.gather_rows_segsum)
+    # Mathematically identical; A/B-time on the TPU with
+    # tools_dev/bench_bp_backward.py before changing the default.
+    bp_backward: str = "scatter"
 
     @property
     def n_scales(self) -> int:

@@ -208,7 +208,8 @@ class EPReconCore(nn.Module):
                                  static_argnums=(5, 6, 7))
                         if remat3d else OccupancyInitialization)
         occ_logits, init_mask, init_count = occ_init_cls(
-            use_running_average=self.use_running_average, name="initialization")(
+            use_running_average=self.use_running_average,
+            bp_backward=cfg.bp_backward, name="initialization")(
                 f2d, origin_b, cfg.voxel_size, proj_init, init_shape,
                 init_interval, cfg.min_view_number)
         occ_logits, init_mask = occ_logits[0], init_mask[0]  # batch=1
@@ -266,7 +267,8 @@ class EPReconCore(nn.Module):
             # back-project image features over the dense window
             proj_s = frag.proj_matrices[:, None, scale]
             volume, count = back_project_window(
-                dim, interval, origin_b, cfg.voxel_size, fop[scale], proj_s)
+                dim, interval, origin_b, cfg.voxel_size, fop[scale], proj_s,
+                bp_backward=cfg.bp_backward)
             if i == 0:
                 stage_mask = stage_mask & (count >= min_views)
             if self.debug_outputs:

@@ -60,6 +60,7 @@ class OccupancyInitialization(nn.Module):
     """
     ch_down: int = 32
     use_running_average: bool = False
+    bp_backward: str = "scatter"  # see config.ModelConfig.bp_backward
 
     @nn.compact
     def __call__(self, features_pyramid, origin, voxel_size: float, proj,
@@ -98,7 +99,8 @@ class OccupancyInitialization(nn.Module):
         valid_all = jnp.ones(bs * n, bool)
 
         var, count = back_project_variance(coords, valid_all, origin, voxel_size,
-                                           fused, proj)  # [B*N, C], [B*N]
+                                           fused, proj,
+                                           self.bp_backward)  # [B*N,C],[B*N]
         count_vol = count.reshape(bs, gx, gy, gz)
         mask = count_vol >= min_view_number
         var_vol = var.reshape(bs, gx, gy, gz, self.ch_down)

@@ -13,13 +13,56 @@ image gather.
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_rows_segsum(table: jnp.ndarray, idx: jnp.ndarray,
+                       num_rows: int) -> jnp.ndarray:
+    """table[idx] with a sorted segment-sum adjoint.
+
+    The default gather adjoint scatter-adds one cotangent row per GATHERED
+    row (884,736 at the fine stage) into the table; with only
+    `num_rows` (= table.shape[0], 19,200 at 1/4-res images) distinct
+    destinations that is ~46x redundant. This variant sorts the cotangent
+    rows by destination and segment-sums them, so the hardware scatter sees
+    each destination once. Mathematically identical (up to float summation
+    order — tested in tests/test_back_project.py); whether the on-device
+    argsort beats the redundant scatter is TPU-measured by
+    tools_dev/bench_bp_backward.py. Gated by cfg.model.bp_backward.
+    """
+    return table[idx]
+
+
+def _grs_fwd(table, idx, num_rows):
+    return table[idx], idx
+
+
+def _grs_bwd(num_rows, idx, ct):
+    order = jnp.argsort(idx)
+    d_table = jax.ops.segment_sum(ct[order], idx[order],
+                                  num_segments=num_rows,
+                                  indices_are_sorted=True)
+    return d_table.astype(ct.dtype), None
+
+
+gather_rows_segsum.defvjp(_grs_fwd, _grs_bwd)
+
+
+def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
+                 mode: str) -> jnp.ndarray:
+    if mode == "sorted":
+        return gather_rows_segsum(table, idx, table.shape[0])
+    return table[idx]
+
+
 def bilinear_sample_flat(images: jnp.ndarray, batch_idx: jnp.ndarray,
-                         uv: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+                         uv: jnp.ndarray, h: int, w: int,
+                         bp_backward: str = "scatter") -> jnp.ndarray:
     """Bilinear sample with zero padding outside the image.
 
     images: [B*H*W, C] flattened; batch_idx: int32 [N]; uv: [N, 2] pixel
@@ -44,7 +87,7 @@ def bilinear_sample_flat(images: jnp.ndarray, batch_idx: jnp.ndarray,
     base = (batch_idx * (h * w)
             + jnp.clip(v0, 0, h - 1).astype(jnp.int32) * w
             + jnp.clip(u0, 0, w - 1).astype(jnp.int32))
-    g = quad[base]  # [N, 4C]
+    g = _gather_rows(quad, base, bp_backward)  # [N, 4C]
     ws = []
     for cy, cx in ((0, 0), (0, 1), (1, 0), (1, 1)):
         px = u0 + cx
@@ -103,7 +146,7 @@ def back_project_mean(coords: jnp.ndarray, valid: jnp.ndarray, origin: jnp.ndarr
 
 def back_project_window(dim, interval: int, origin: jnp.ndarray,
                         voxel_size: float, feats: jnp.ndarray,
-                        proj: jnp.ndarray):
+                        proj: jnp.ndarray, bp_backward: str = "scatter"):
     """Dense-window back-projection (batch=1 fast path, no per-voxel proj
     gather): mean of visible-view features for every voxel of the window.
 
@@ -147,7 +190,7 @@ def back_project_window(dim, interval: int, origin: jnp.ndarray,
         dv = v - v0
         base = (jnp.clip(v0, 0, h - 1).astype(jnp.int32) * w
                 + jnp.clip(u0, 0, w - 1).astype(jnp.int32))
-        g = quad[base]  # [N, 4C]
+        g = _gather_rows(quad, base, bp_backward)  # [N, 4C]
         ws = []
         for cy, cx in ((0, 0), (0, 1), (1, 0), (1, 1)):
             px = u0 + cx
@@ -170,7 +213,8 @@ def back_project_window(dim, interval: int, origin: jnp.ndarray,
 
 
 def back_project_variance(coords: jnp.ndarray, valid: jnp.ndarray, origin: jnp.ndarray,
-                          voxel_size: float, feats: jnp.ndarray, proj: jnp.ndarray
+                          voxel_size: float, feats: jnp.ndarray, proj: jnp.ndarray,
+                          bp_backward: str = "scatter"
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Cross-view feature variance per voxel — the occupancy-init matching
     cost (reference models/occupancy_initialization.py:119-128).
@@ -191,7 +235,7 @@ def back_project_variance(coords: jnp.ndarray, valid: jnp.ndarray, origin: jnp.n
     s2 = jnp.zeros((n, c), feats.dtype)
     count = jnp.zeros(n, jnp.float32)
     for vi in range(vv):
-        s = bilinear_sample_flat(flat_imgs[vi], b, uv[vi], h, w)
+        s = bilinear_sample_flat(flat_imgs[vi], b, uv[vi], h, w, bp_backward)
         s = s * mask[vi][:, None]
         s1 = s1 + s
         s2 = s2 + s * s

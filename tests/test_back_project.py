@@ -127,3 +127,57 @@ def test_back_project_variance_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(count)[valid], exp_count[valid])
     np.testing.assert_allclose(np.asarray(var)[valid], exp[valid], rtol=1e-3, atol=1e-5)
     assert (np.asarray(var) >= 0).all()
+
+
+def test_sorted_backward_matches_scatter(rng):
+    """bp_backward='sorted' (gather_rows_segsum: argsort + segment-sum
+    adjoint) must produce the same gradients as XLA's default scatter-add
+    gather adjoint — it only changes summation ORDER of the cotangent rows.
+    Checked through back_project_window (production path, bf16 quads — f32
+    grads compared loosely) and back_project_variance (f32 — compared
+    tightly)."""
+    import jax
+
+    n_views, h, w, c = 4, 12, 16, 5
+    dim, interval, voxel_size = (8, 8, 8), 2, 0.1
+    feats = rng.standard_normal((n_views, 1, h, w, c)).astype(np.float32)
+    projs = []
+    for v in range(n_views):
+        kmat = np.array([[20.0, 0, w / 2], [0, 20.0, h / 2], [0, 0, 1]],
+                        np.float32)
+        pose = np.eye(4, dtype=np.float32)
+        pose[0, 3] = 0.1 * v
+        pm = np.eye(4, dtype=np.float32)
+        pm[:3, :4] = kmat @ np.linalg.inv(pose)[:3, :4]
+        projs.append(pm)
+    proj = np.stack(projs)[:, None]
+    origin = np.array([[-0.2, -0.2, 0.5]], np.float32)
+
+    def loss_window(f, mode):
+        mean, _ = bp.back_project_window(dim, interval, jnp.asarray(origin),
+                                         voxel_size, f, jnp.asarray(proj),
+                                         bp_backward=mode)
+        return jnp.sum(mean.astype(jnp.float32) ** 2)
+
+    g_scatter = jax.grad(loss_window)(jnp.asarray(feats), "scatter")
+    g_sorted = jax.grad(loss_window)(jnp.asarray(feats), "sorted")
+    np.testing.assert_allclose(np.asarray(g_scatter), np.asarray(g_sorted),
+                               rtol=1e-2, atol=1e-3)  # bf16 quad path
+
+    n = dim[0] * dim[1] * dim[2]
+    ii, jj, kk = np.meshgrid(*[np.arange(d) for d in dim], indexing="ij")
+    coords = np.zeros((n, 4), np.int32)
+    coords[:, 1:] = np.stack([ii, jj, kk], -1).reshape(-1, 3) * interval
+    valid = np.ones(n, bool)
+
+    def loss_var(f, mode):
+        var, _ = bp.back_project_variance(jnp.asarray(coords),
+                                          jnp.asarray(valid),
+                                          jnp.asarray(origin), voxel_size, f,
+                                          jnp.asarray(proj), mode)
+        return jnp.sum(var ** 2)
+
+    gv_scatter = jax.grad(loss_var)(jnp.asarray(feats), "scatter")
+    gv_sorted = jax.grad(loss_var)(jnp.asarray(feats), "sorted")
+    np.testing.assert_allclose(np.asarray(gv_scatter), np.asarray(gv_sorted),
+                               rtol=1e-5, atol=1e-6)
