@@ -43,10 +43,15 @@ def tiny_cfg():
 
 def build_scene_and_fragments(cfg, n_objects=3, n_views=5,
                               image_hw=(96, 128), seed=3,
-                              angles=(0.0, 0.6, 1.2)):
+                              angles=(0.0, 0.6, 1.2), scene_seed=3):
+    """scene_seed picks the box layout (make_scene seed); `seed` keeps its
+    historical role as the camera-jitter seed. Defaults reproduce the scene
+    every trained floor was calibrated on (previously make_scene(n_objects)
+    passed 3 POSITIONALLY into make_scene's seed slot — same layout, wrong
+    knob; n_objects now really controls the box count)."""
     from eprecon_tpu.data.synthetic import make_fragment, make_scene
 
-    scene = make_scene(n_objects)
+    scene = make_scene(seed=scene_seed, n_boxes=n_objects)
     frags = [make_fragment(n_views=n_views, image_hw=image_hw,
                            n_vox=cfg.model.n_vox,
                            voxel_size=cfg.model.voxel_size, seed=seed,
