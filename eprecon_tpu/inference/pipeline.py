@@ -44,6 +44,33 @@ class SceneResult:
     clipped: int = 0
 
 
+def fragment_forward(model: EPRecon, cfg: Config, variables, imgs, frag,
+                     rec_state, pmap_state, targets=None):
+    """The complete per-fragment inference program as one pure function:
+    model forward + panoptic post + direct-substitute global fusion
+    (reference main.py:375-401 test step + gru_fusion.py:259-394).
+
+    Shared by StreamingReconstructor (jitted with donated state) and
+    inference.export (AOT jax.export serving artifact) so the serving
+    artifact is the online path by construction.
+    """
+    # losses are computed against GT when targets are provided, exactly
+    # as the reference test loop does (reference main.py:375-401)
+    (outputs, losses, new_rec), _ = model.apply(
+        variables, imgs, frag, rec_state, targets, mutable=["batch_stats"])
+    seg = panoptic_inference(outputs["pred_logits"], outputs["pred_masks"],
+                             outputs["panoptic_valid"])
+    # scatter per-voxel segment ids back into the fragment window
+    seg_window = sp.sparse_to_dense(
+        outputs["coords"][:, 1:], seg.voxel_seg[:, None].astype(jnp.float32),
+        outputs["valid"], tuple(cfg.model.n_vox))[..., 0].astype(jnp.int32)
+    new_pmap = fuse_tsdf_direct(
+        pmap_state, outputs["tsdf_window"], outputs["occupancy"],
+        seg_window, seg.seg_class, seg.seg_isthing, seg.seg_valid,
+        frag.rel_origins[-1])
+    return outputs, losses, new_rec, new_pmap
+
+
 class StreamingReconstructor:
     """Incremental panoptic reconstruction over a fragment stream."""
 
@@ -69,21 +96,8 @@ class StreamingReconstructor:
 
     def _forward(self, variables, imgs, frag, rec_state, pmap_state,
                  targets=None):
-        # losses are computed against GT when targets are provided, exactly
-        # as the reference test loop does (reference main.py:375-401)
-        (outputs, losses, new_rec), _ = self.model.apply(
-            variables, imgs, frag, rec_state, targets, mutable=["batch_stats"])
-        seg = panoptic_inference(outputs["pred_logits"], outputs["pred_masks"],
-                                 outputs["panoptic_valid"])
-        # scatter per-voxel segment ids back into the fragment window
-        seg_window = sp.sparse_to_dense(
-            outputs["coords"][:, 1:], seg.voxel_seg[:, None].astype(jnp.float32),
-            outputs["valid"], tuple(self.cfg.model.n_vox))[..., 0].astype(jnp.int32)
-        new_pmap = fuse_tsdf_direct(
-            pmap_state, outputs["tsdf_window"], outputs["occupancy"],
-            seg_window, seg.seg_class, seg.seg_isthing, seg.seg_valid,
-            frag.rel_origins[-1])
-        return outputs, losses, new_rec, new_pmap
+        return fragment_forward(self.model, self.cfg, variables, imgs, frag,
+                                rec_state, pmap_state, targets)
 
     def process_fragment(self, scene: str, imgs: np.ndarray,
                          proj_matrices: np.ndarray, vol_origin: np.ndarray,
