@@ -16,6 +16,17 @@ Layout:
   inference — streaming incremental reconstruction + mesh export
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
+
+import os as _os
+
+if _os.environ.get("EPRECON_PLATFORM"):
+    # Force a jax platform (e.g. EPRECON_PLATFORM=cpu to debug on a machine
+    # whose TPU plugin auto-registers at interpreter start): JAX_PLATFORMS
+    # from the environment can be overridden by plugin registration hooks;
+    # a config.update before first backend use cannot.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["EPRECON_PLATFORM"])
 
 from eprecon_tpu.config import Config, default_config  # noqa: F401

@@ -147,6 +147,7 @@ def main(argv=None):
     ap.add_argument("opts", nargs=argparse.REMAINDER,
                     help="KEY VALUE config overrides")
     args = ap.parse_args(argv)
+    # EPRECON_PLATFORM=cpu|tpu is honored in eprecon_tpu/__init__.py
 
     from eprecon_tpu.config import load_config, parse_cli_overrides
 
