@@ -568,9 +568,16 @@ def _set_path(tree: Dict, path: Tuple[str, ...], value):
 
 def apply_entries(sd: Dict[str, np.ndarray], entries: List[Entry],
                   zeros: List[ZeroEntry] = (),
-                  strict: bool = True) -> Dict[str, Dict]:
+                  strict: bool = True,
+                  transforms: Optional[Dict[str, Callable]] = None
+                  ) -> Dict[str, Dict]:
     """Convert the given entry list from a torch state_dict into nested
-    {'params', 'batch_stats', 'buffers'} trees."""
+    {'params', 'batch_stats', 'buffers'} trees.
+
+    `transforms` overrides TRANSFORMS — used by tools/fingerprint.py to try
+    alternative kernel-offset enumeration orders (layout auto-flip)."""
+    if transforms is None:
+        transforms = TRANSFORMS
     out: Dict[str, Dict] = {"params": {}, "batch_stats": {}, "buffers": {}}
     used = set()
     missing = []
@@ -588,7 +595,7 @@ def apply_entries(sd: Dict[str, np.ndarray], entries: List[Entry],
         elif e.transform.startswith("inproj_b"):
             v = _split3(w, int(e.transform[-1]))
         else:
-            v = TRANSFORMS[e.transform](w)
+            v = transforms[e.transform](w)
         _set_path(out[e.collection], e.dst, v)
     if missing and strict:
         raise KeyError(f"{len(missing)} reference keys missing, first 10: "
@@ -606,11 +613,14 @@ def apply_entries(sd: Dict[str, np.ndarray], entries: List[Entry],
 
 
 def convert_reference_state_dict(sd: Dict[str, np.ndarray],
-                                 strict: bool = True) -> Dict[str, Dict]:
+                                 strict: bool = True,
+                                 transforms: Optional[Dict[str, Callable]] = None
+                                 ) -> Dict[str, Dict]:
     """torch EPRecon state_dict (numpy values, 'module.' prefix stripped) →
     {'params': ..., 'batch_stats': ..., 'buffers': ...} nested trees."""
     entries, zeros = all_entries()
-    out = apply_entries(sd, entries, zeros, strict=strict)
+    out = apply_entries(sd, entries, zeros, strict=strict,
+                        transforms=transforms)
     used = out.pop("_used_keys")
     out["params"] = fuse_zr_gates(out["params"])
     unexpected = [k for k in sd
@@ -694,10 +704,30 @@ def main():
     ap.add_argument("--torch_ckpt", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--strict", action="store_true", default=True)
+    ap.add_argument("--fingerprint", default=None, metavar="JSON",
+                    help="activation fingerprint recorded in the reference "
+                         "environment (tools_dev/record_reference_fingerprint"
+                         ".py); verifies the kernel-enumeration layout and "
+                         "auto-flips it on mismatch")
+    ap.add_argument("--record_fingerprint", default=None, metavar="JSON",
+                    help="write this checkpoint's fingerprint under the "
+                         "(possibly auto-flipped) layout used")
     args = ap.parse_args()
 
     sd = load_torch_checkpoint(args.torch_ckpt)
-    converted = convert_reference_state_dict(sd, strict=args.strict)
+    transforms = None
+    from eprecon_tpu.tools import fingerprint as fpmod
+    layout = fpmod.DEFAULT_LAYOUT
+    if args.fingerprint:
+        expected = fpmod.load_fingerprint(args.fingerprint)
+        layout, _ = fpmod.verify_or_fix_layout(sd, expected)
+        transforms = fpmod.transforms_for(layout)
+        print(f"fingerprint verified under layout {fpmod.layout_name(layout)}")
+    if args.record_fingerprint:
+        fpmod.save_fingerprint(fpmod.fingerprint_state_dict(sd, layout),
+                               args.record_fingerprint)
+    converted = convert_reference_state_dict(sd, strict=args.strict,
+                                             transforms=transforms)
 
     from flax import serialization
 
