@@ -90,13 +90,16 @@ def main():
         d = make_fragment(n_views=n_views, image_hw=(480, 640),
                           n_vox=cfg.model.n_vox,
                           voxel_size=cfg.model.voxel_size, seed=0)
-        np.savez_compressed(
-            frag_cache, imgs=d["imgs"], proj_matrices=d["proj_matrices"],
-            vol_origin_partial=d["vol_origin_partial"],
-            world_to_aligned_camera=d["world_to_aligned_camera"],
-            semantic=d["semantic"], instance=d["instance"],
-            **{f"tsdf_{i}": t for i, t in enumerate(d["tsdf_levels"])},
-            **{f"occ_{i}": o for i, o in enumerate(d["occ_levels"])})
+        # flatten to the cache's key schema (the train-step bench below
+        # reads d["tsdf_i"]; a cache-miss run must see the same keys a
+        # cache-hit run does)
+        d = {"imgs": d["imgs"], "proj_matrices": d["proj_matrices"],
+             "vol_origin_partial": d["vol_origin_partial"],
+             "world_to_aligned_camera": d["world_to_aligned_camera"],
+             "semantic": d["semantic"], "instance": d["instance"],
+             **{f"tsdf_{i}": t for i, t in enumerate(d["tsdf_levels"])},
+             **{f"occ_{i}": o for i, o in enumerate(d["occ_levels"])}}
+        np.savez_compressed(frag_cache, **d)
     frag = FragmentInputs(
         proj_matrices=jnp.asarray(d["proj_matrices"]),
         vol_origin_partial=jnp.asarray(d["vol_origin_partial"]),

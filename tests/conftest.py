@@ -8,7 +8,18 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The suite is compile-bound: XLA:CPU's thunk runtime LLVM-compiles every
+# fusion kernel as its own module on this 1-core host (~1400 kernels /
+# 200-330 s for one tiny-config jit_init at the default opt level). Tests
+# validate NUMERICS, not CPU codegen quality — drop LLVM effort (measured
+# 216 s → 36 s for jit_init; pure compile-time knobs, no fast-math).
+# EPRECON_FULL_LLVM=1 opts back into default codegen.
+if (os.environ.get("EPRECON_FULL_LLVM") != "1"
+        and "xla_backend_optimization_level" not in flags):
+    flags += (" --xla_backend_optimization_level=0"
+              " --xla_llvm_disable_expensive_passes=true")
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
