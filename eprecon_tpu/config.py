@@ -108,16 +108,24 @@ class ModelConfig:
     #             are saved (the windows are bf16 and fit full-scale HBM)
     #   "none"  — nothing rematerialized
     # Inference is unaffected (remat is an AD-only transform).
-    remat_mode: str = "full"
+    # v5e A/B at full 96^3 scale (round 4, tools_dev/bench_train_remat.py):
+    # full 650.3 / light 563.5 / none 554.8 ms per train step — "light" takes
+    # ~all the win while keeping the 3D-window-free HBM headroom ("none"
+    # also fit batch-1 full scale; flip it if HBM allows on your config).
+    remat_mode: str = "light"
     # back-projection gather adjoint (training backward only):
     #   "scatter" — XLA's default gather VJP: one scatter-add row per
     #               gathered row (884,736/view at the fine stage)
     #   "sorted"  — sort cotangent rows by destination pixel and
     #               segment-sum, so the scatter sees each of the 19,200
     #               destinations once (ops/back_project.gather_rows_segsum)
-    # Mathematically identical; A/B-time on the TPU with
-    # tools_dev/bench_bp_backward.py before changing the default.
-    bp_backward: str = "scatter"
+    #   "auto"    — per-stage: "sorted" on the coarse stage where it
+    #               measures 13.5 ms/step faster (37.0 vs 50.6, v5e,
+    #               tools_dev/bench_bp_backward.py round 4), "scatter"
+    #               elsewhere (fine stage: scatter 167.5 vs sorted 179.7 —
+    #               the 884k-row argsort loses to the redundant scatter)
+    # Mathematically identical everywhere (gradient-equality tested).
+    bp_backward: str = "auto"
 
     @property
     def n_scales(self) -> int:

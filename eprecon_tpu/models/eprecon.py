@@ -207,9 +207,12 @@ class EPReconCore(nn.Module):
         occ_init_cls = (nn.remat(OccupancyInitialization,
                                  static_argnums=(5, 6, 7))
                         if remat3d else OccupancyInitialization)
+        # "auto" resolves per BP site from the round-4 v5e A/B: sorted wins
+        # only at the coarse stage's small-table/low-row-count shape
+        bp_occ_init = "scatter" if cfg.bp_backward == "auto" else cfg.bp_backward
         occ_logits, init_mask, init_count = occ_init_cls(
             use_running_average=self.use_running_average,
-            bp_backward=cfg.bp_backward, name="initialization")(
+            bp_backward=bp_occ_init, name="initialization")(
                 f2d, origin_b, cfg.voxel_size, proj_init, init_shape,
                 init_interval, cfg.min_view_number)
         occ_logits, init_mask = occ_logits[0], init_mask[0]  # batch=1
@@ -266,9 +269,11 @@ class EPReconCore(nn.Module):
 
             # back-project image features over the dense window
             proj_s = frag.proj_matrices[:, None, scale]
+            bp_mode = (("sorted" if i == 0 else "scatter")
+                       if cfg.bp_backward == "auto" else cfg.bp_backward)
             volume, count = back_project_window(
                 dim, interval, origin_b, cfg.voxel_size, fop[scale], proj_s,
-                bp_backward=cfg.bp_backward)
+                bp_backward=bp_mode)
             if i == 0:
                 stage_mask = stage_mask & (count >= min_views)
             if self.debug_outputs:

@@ -49,11 +49,23 @@ def make_optimizer(cfg: Config, steps_per_epoch: int = 1000,
         optax.clip_by_global_norm(cfg.train.grad_clip),
         optax.adam(lr, b1=cfg.train.betas[0], b2=cfg.train.betas[1]),
     )
-    if freeze_mask is not None:
-        tx = optax.multi_transform(
-            {"train": tx, "freeze": optax.set_to_zero()}, freeze_mask)
     if cfg.train.accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.train.accumulation_steps)
+    # run Adam/clip/accumulation over ONE raveled vector instead of ~500
+    # leaves: the per-leaf formulation emits thousands of tiny HLO ops
+    # (update + MultiSteps select per leaf) that cost both step time
+    # (round-4 trace: 37.7k ops/step) and minutes of XLA:CPU kernel
+    # compiles in the driver's 8-device dryrun.
+    tx = optax.flatten(tx)
+    if freeze_mask is not None:
+        # staged freezing by zeroing frozen GRADIENTS before the flattened
+        # optimizer — exactly equivalent to the reference's param filtering
+        # (main.py:221-230) and to multi_transform{set_to_zero}: Adam with
+        # always-zero grads and zero-init moments emits zero updates, and
+        # clip_by_global_norm sees the same norm (frozen grads contribute 0).
+        # Keeps the heavy stateful ops on one vector even when freezing.
+        frozen = jax.tree_util.tree_map(lambda l: l == "freeze", freeze_mask)
+        tx = optax.chain(optax.masked(optax.set_to_zero(), frozen), tx)
     return tx
 
 
@@ -141,7 +153,10 @@ def make_train_step(model: EPRecon, tx: optax.GradientTransformation,
         return grads, loss, metrics, new_aux, new_rec
 
     if mesh is None:
-        @jax.jit
+        # donate the train state and recurrent state: without donation every
+        # step copies each param/opt-state/global-map buffer to fresh device
+        # memory (~3.5k copy ops, 135 ms/step at full scale — round-4 trace)
+        @functools.partial(jax.jit, donate_argnums=(0, 4))
         def step(state, imgs, frag, targets, rec):
             grads, loss, metrics, new_aux, new_rec = single_step(
                 state, imgs, frag, targets, rec)
@@ -161,7 +176,7 @@ def make_train_step(model: EPRecon, tx: optax.GradientTransformation,
         _sm_kwargs = {"check_rep": False}
     from jax.sharding import PartitionSpec as P
 
-    @functools.partial(jax.jit)
+    @functools.partial(jax.jit, donate_argnums=(0, 4))
     def step(state, imgs, frag, targets, rec):
         def shard_fn(state, imgs, frag, targets, rec):
             # leading device axis of size 1 per shard
