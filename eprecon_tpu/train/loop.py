@@ -65,6 +65,15 @@ def fragment_to_device_args(cfg: Config, data: dict, global_origin: np.ndarray):
     return imgs, frag, targets
 
 
+def _stop_requested() -> bool:
+    """Cooperative shutdown: long TPU runs must NEVER be killed mid-execution
+    (a killed axon-relay client wedges the backend for the whole session —
+    CLAUDE.md). Touch the file named by EPRECON_STOP_FILE and the train loop
+    checkpoints and exits cleanly between steps instead."""
+    stop = os.environ.get("EPRECON_STOP_FILE")
+    return bool(stop) and os.path.exists(stop)
+
+
 def train_epochs(cfg: Config, model, tstate: TrainState, step_fn,
                  dataset_iter_fn: Callable[[int], Iterable[dict]],
                  epochs: Optional[int] = None,
@@ -87,6 +96,11 @@ def train_epochs(cfg: Config, model, tstate: TrainState, step_fn,
         meter = MetricsMeter()
         t0 = time.time()
         for data in dataset_iter_fn(epoch):
+            if _stop_requested():
+                log_fn(f"stop file present — checkpointing at step "
+                       f"{step_count} and exiting")
+                ckpt.save_checkpoint(cfg.logdir, epoch, tstate)
+                return tstate
             if data.get("scene") != scene:
                 scene = data.get("scene")
                 rec = make_recurrent_state(cfg.model)
@@ -167,6 +181,11 @@ def train_epochs_sharded(cfg: Config, model, tstate: TrainState, step_fn,
             s.set_epoch(epoch)
         streams = [iter(s) for s in samplers]
         while True:
+            if _stop_requested():
+                log_fn(f"stop file present — checkpointing at step "
+                       f"{step_count} and exiting")
+                ckpt.save_checkpoint(cfg.logdir, epoch, tstate)
+                return tstate
             try:
                 batch = [dataset[next(st)] for st in streams]
             except StopIteration:
