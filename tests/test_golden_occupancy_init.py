@@ -200,7 +200,12 @@ def test_occupancy_init_golden_vs_torch(rng):
         pm[:3, :4] = k @ np.linalg.inv(pose)[:3, :4]
         projs.append(pm)
     proj = np.stack(projs)[:, None]  # [V, 1, 4, 4]
-    origin = np.array([[-0.6, -0.5, 0.8]], np.float32)
+    # Off-grid origin: round decimals put 12 voxels EXACTLY on the image
+    # boundary (|im_grid| == 1 to float64 rounding), so the <=1 in-bounds
+    # test flips with the compiler's FMA contraction choices (it did when
+    # conftest dropped XLA:CPU LLVM effort). Nudged, the nearest voxel is
+    # 2.5e-3 from any boundary — robust to any fp reassociation.
+    origin = np.array([[-0.6037, -0.4971, 0.8023]], np.float32)
     grid_shape, interval, voxel_size = (12, 12, 12), 2, 0.05
 
     model = OccupancyInitialization(use_running_average=True)
