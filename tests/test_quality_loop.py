@@ -34,7 +34,7 @@ def test_train_reconstruct_fscore():
 
     first_loss = last_loss = None
     rec = rec0
-    for it in range(36):
+    for it in range(48):
         i = it % len(args)
         if i == 0:
             rec = make_recurrent_state(cfg.model)
@@ -68,17 +68,18 @@ def test_train_reconstruct_fscore():
     pv, _, _ = marching_cubes(out.tsdf)
     mw = eval_mesh(pv * out.voxel_size + out.origin,
                    np.concatenate(gt_verts), threshold=0.15, down_sample=0.06)
-    # calibration history: 0.83 at 36 steps under round-2 half-pixel
-    # upsampling; the corner-aligned torchsparse-devoxelize semantics
-    # (commit 2164ee7, required for reference-checkpoint parity) moved the
-    # tiny-config trajectory to 0.509 at 36 steps — deterministic across
-    # reruns, and consistent with the trained plateau (0.514 at step 100,
-    # tools_dev/quality_pq_experiment.py). 0.4 floor keeps the tripwire
-    # (clamp-skew-class regressions scored ~0.0 full-grid) with headroom.
-    assert mw["fscore"] > 0.4, (mw, m)
-    # 36 steps do not train the decoder (the classifier's max softmax must
-    # clear the 0.3 keep threshold before ANY instance is emitted, ~step
-    # 100), so PQ has no floor here — assert the protocol runs and its
+    # calibration (tools_dev/calibrate_quality_floor.py, round 4, at the
+    # conftest opt-0 codegen flags): fscore 0.26 @36 steps (the exact cliff
+    # where occupancy first clears its keep threshold — recall 0.15 with
+    # precision 0.99; round 3's 0.51 @36 was the same cliff under full-LLVM
+    # codegen), then 0.92 @48 / 0.87 @60 / 0.88 @72. 48 steps sits past the
+    # marginal regime in every measured codegen, so a chaotic-trajectory
+    # shift from compiler flags can no longer flip the floor; 0.5 keeps 1.8x
+    # headroom (clamp-skew-class regressions scored ~0.0 full-grid).
+    assert mw["fscore"] > 0.5, (mw, m)
+    # 48 steps do not reliably train the decoder (the classifier's max
+    # softmax must clear the 0.3 keep threshold before ANY instance is
+    # emitted), so PQ has no floor here — assert the protocol runs and its
     # outputs are well-formed. tests/test_quality_pq.py (-m quality_pq)
     # holds the trained floor: PQ-vs-GT 0.493 measured at step 100.
     assert m["n_gt_inst"] > 0

@@ -93,7 +93,7 @@ def train():
 def test():
     import glob
 
-    ckpts = sorted(glob.glob(os.path.join(CKPT, "ckpt_*")))
+    ckpts = sorted(glob.glob(os.path.join(CKPT, "model_*")))
     assert ckpts, f"no checkpoints under {CKPT}"
     _cli("test.yaml", "test.path", DATA, "logdir", TESTLOG,
          "loadckpt", ckpts[-1], "model.occ_init_threshold", 0.05,
