@@ -96,6 +96,14 @@ class ModelConfig:
     # extents are this / 2^scale); window slices are dynamic_slice'd from it.
     # (256, 256, 128) @ 4 cm = 10.2 x 10.2 x 5.1 m — covers ScanNet rooms.
     global_extent: Tuple[int, int, int] = (256, 256, 128)
+    # desired margin (finest-level voxels) the global volume keeps BELOW a
+    # scene's vol_origin: keyframe frustums poke into empty space below the
+    # observed geometry (up to max_depth / voxel_size voxels), so fragment
+    # windows can start below the GT volume origin. Capped per axis by half
+    # the volume's slack (ops/grid.scene_global_origin); raise together with
+    # global_extent when eval warns about clamped fragments (production
+    # quality runs measured a 56-voxel overhang on 2-room scenes).
+    origin_margin: int = 32
     # storage dtype of the global feature volumes ('bfloat16' halves HBM)
     global_dtype: str = "bfloat16"
     # window span for sparse-engine key packing (voxels); must be pow2 ≥ any

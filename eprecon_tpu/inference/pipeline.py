@@ -113,7 +113,8 @@ class StreamingReconstructor:
             self.scene_name = scene
             m = self.cfg.model
             self.global_origin = grid.scene_global_origin(
-                m.global_extent, m.n_vox, m.n_scales, m.voxel_size, vol_origin)
+                m.global_extent, m.n_vox, m.n_scales, m.voxel_size, vol_origin,
+                m.origin_margin)
             self._reset_state()
 
         rel = []

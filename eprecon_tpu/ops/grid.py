@@ -36,7 +36,8 @@ def dense_coords(shape: Sequence[int]) -> jnp.ndarray:
 
 def scene_global_origin(global_extent: Sequence[int], n_vox: Sequence[int],
                         n_scales: int, voxel_size: float,
-                        vol_origin: np.ndarray) -> np.ndarray:
+                        vol_origin: np.ndarray,
+                        desired_margin: int = 32) -> np.ndarray:
     """World origin of a scene's dense global volume.
 
     Sits a margin below the scene origin so early fragments snapped slightly
@@ -48,7 +49,7 @@ def scene_global_origin(global_extent: Sequence[int], n_vox: Sequence[int],
     coarsest-level grid so every pyramid level's rel_origin is integral.
     """
     snap_units = 2 ** n_scales
-    desired = 32
+    desired = desired_margin
     slack = np.maximum(np.asarray(global_extent) - np.asarray(n_vox), 0)
     # never spend more than half the slack below the origin — fragments sit
     # mostly ABOVE vol_origin, and a margin that eats the full slack forces

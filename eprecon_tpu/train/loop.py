@@ -141,7 +141,8 @@ def _scene_origin(cfg: Config, data: dict) -> np.ndarray:
     m = cfg.model
     return scene_global_origin(
         m.global_extent, m.n_vox, m.n_scales, m.voxel_size,
-        np.asarray(data.get("vol_origin", np.zeros(3)), np.float32))
+        np.asarray(data.get("vol_origin", np.zeros(3)), np.float32),
+        m.origin_margin)
 
 
 def train_epochs_sharded(cfg: Config, model, tstate: TrainState, step_fn,

@@ -25,6 +25,7 @@ sys.path.insert(0, "/root/repo")
 ROOT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/prodq"
 EPOCHS = int(sys.argv[2]) if len(sys.argv) > 2 else 40
 N_TRAIN_SCENES, N_FRAMES, N_ROOMS = 3, 96, 2
+MARGIN = 64  # model.origin_margin for both phases (fine voxels)
 DATA = os.path.join(ROOT, "data")
 SCANS = os.path.join(DATA, "scans")
 LABELS = os.path.join(DATA, "labels")
@@ -72,6 +73,28 @@ def gen_gt():
                  label_path=LABELS, splits=splits)
 
 
+def scene_extent():
+    """Smallest global volume (fine voxels, multiples of 32) that fits every
+    generated scene plus a fragment window of slack per axis. The config
+    default (256,256,128) is SMALLER than a 2-room synthetic scene (~285
+    voxels wide): edge fragments get clamp-relocated (pipeline.py clip
+    warning) and the first production eval lost recall to truncation."""
+    import glob
+
+    import numpy as np
+
+    dims = []
+    for f in glob.glob(os.path.join(DATA, "all_tsdf_9", "*",
+                                    "full_tsdf_layer0.npz")):
+        d = np.load(f)
+        dims.append(d[d.files[0]].shape)
+    # window of slack above + the raised origin margin below (keyframe
+    # frustums measured poking 56 fine voxels under the GT vol_origin)
+    need = np.max(dims, axis=0) + 96 + MARGIN
+    ext = [int(np.ceil(n / 32) * 32) for n in need]
+    return "[" + ",".join(map(str, ext)) + "]"
+
+
 def _cli(yaml, *overrides):
     cmd = [sys.executable, "-m", "eprecon_tpu.main", "--cfg",
            f"config/{yaml}"] + [str(x) for x in overrides]
@@ -87,7 +110,9 @@ def train():
     _cli("train.yaml", "train.path", DATA, "logdir", CKPT,
          "train.epochs", EPOCHS, "train.lr", "1e-3",
          "train.accumulation_steps", 1, "model.occ_init_threshold", 0.05,
-         "train.n_workers", 2, "save_freq", 5)
+         "train.n_workers", 2, "save_freq", 5,
+         "model.global_extent", scene_extent(),
+         "model.origin_margin", MARGIN)
 
 
 def test():
@@ -97,7 +122,8 @@ def test():
     assert ckpts, f"no checkpoints under {CKPT}"
     _cli("test.yaml", "test.path", DATA, "logdir", TESTLOG,
          "loadckpt", ckpts[-1], "model.occ_init_threshold", 0.05,
-         "test.n_workers", 2)
+         "test.n_workers", 2, "model.global_extent", scene_extent(),
+         "model.origin_margin", MARGIN)
 
 
 def report():
