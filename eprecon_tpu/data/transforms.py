@@ -119,7 +119,19 @@ class RandomTransformSpace:
         origin = np.asarray(data["vol_origin"], np.float64)
         if not (self.random_rotation or self.random_translation) \
                 or "tsdf_list_full" not in data:
+            # Identity transform (test mode / no-GT inference): world coords
+            # are NOT shifted, so keep reporting the scene's true vol_origin.
+            # The reference zeroes it here too (transforms.py:157-160) but
+            # its global map is an unbounded sparse union; OUR dense global
+            # volume anchors at vol_origin (scene_global_origin), and a
+            # zeroed origin under unshifted poses anchored the volume ~the
+            # whole scene extent away from the geometry — every edge
+            # fragment clamped (production eval: recall 0.31, fscore 0.38
+            # on a scene starting at world -3.68 m).
             T = np.eye(4)
+            data["extrinsics"] = [T @ e for e in data["extrinsics"]]
+            data["vol_origin"] = origin.astype(np.float32)
+            return self._window_and_gt(data, np.linalg.inv(T), origin)
         else:
             epoch = int(data.get("epoch", 0))
             r = self.random_r[epoch] * 2 * np.pi if self.random_rotation else 0.0
@@ -156,6 +168,11 @@ class RandomTransformSpace:
                                    data["intrinsics"][i], data["extrinsics"][i])
             bnds[:, 0] = np.minimum(bnds[:, 0], pts.min(1))
             bnds[:, 1] = np.maximum(bnds[:, 1], pts.max(1))
+        # z center -0.2 is ABSOLUTE world z (ScanNet convention: floor at
+        # world z=0; reference transforms.py:247) — deliberately NOT
+        # vol_origin-relative: the GT volume's z origin sits metres below
+        # the floor (frustum free space), while the window must start just
+        # under the geometry.
         center = (np.array([(bnds[0].sum()) / 2, (bnds[1].sum()) / 2, -0.2])
                   - data["vol_origin"]) / self.voxel_size
         s = 2 ** self.n_layers

@@ -25,7 +25,11 @@ sys.path.insert(0, "/root/repo")
 ROOT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/prodq"
 EPOCHS = int(sys.argv[2]) if len(sys.argv) > 2 else 40
 N_TRAIN_SCENES, N_FRAMES, N_ROOMS = 3, 96, 2
-MARGIN = 64  # model.origin_margin for both phases (fine voxels)
+MARGIN = 64  # minimum model.origin_margin (fine voxels)
+# HBM-safe train-phase bounds (see scene_extent docstring): feature globals
+# 384*320*224 bf16 = 1.7 GB next to the ~10.7 GB remat-light train step
+TRAIN_CAP = (384, 320, 224)
+TRAIN_CAP_MARGIN = 96
 DATA = os.path.join(ROOT, "data")
 SCANS = os.path.join(DATA, "scans")
 LABELS = os.path.join(DATA, "labels")
@@ -73,26 +77,123 @@ def gen_gt():
                  label_path=LABELS, splits=splits)
 
 
-def scene_extent():
-    """Smallest global volume (fine voxels, multiples of 32) that fits every
-    generated scene plus a fragment window of slack per axis. The config
-    default (256,256,128) is SMALLER than a 2-room synthetic scene (~285
-    voxels wide): edge fragments get clamp-relocated (pipeline.py clip
-    warning) and the first production eval lost recall to truncation."""
-    import glob
+def scene_extent(train: bool = False):
+    """Global volume (fine voxels, multiples of 32) + origin margin sized by
+    replicating the dataset's exact window placement (RandomTransformSpace
+    __call__ + _window_and_gt) for every fragment pkl entry.
 
+    train=False: the identity-branch placement of the test split — sized
+    EXACTLY, zero clamps where metrics are scored.
+    train=True: additionally sweeps every train-epoch augmentation (the
+    rng(31) streams are deterministic), then CAPS at an HBM-safe bound
+    (TRAIN_CAP): rotated multi-room scenes occasionally place windows far
+    outside any affordable dense volume (exact need measured [448,384,352]
+    / margin 184 — feature globals ~3.9 GB bf16, OOM on v5e next to the
+    ~10.7 GB train step). A capped volume only clamps the GRU global-map
+    writeback for those outlier fragments (per-fragment supervision is
+    window-local and stays exact); the reference's sparse union
+    (gru_fusion.py:91-98) is unbounded and never clamps.
+    The config default (256,256,128) is smaller than a 2-room synthetic
+    scene (~285 voxels wide) — that, plus the old zeroed-vol_origin anchor
+    bug, was the round-4 recall collapse."""
+    import glob
+    import pickle
+
+    import cv2
     import numpy as np
 
-    dims = []
-    for f in glob.glob(os.path.join(DATA, "all_tsdf_9", "*",
-                                    "full_tsdf_layer0.npz")):
-        d = np.load(f)
-        dims.append(d[d.files[0]].shape)
-    # window of slack above + the raised origin margin below (keyframe
-    # frustums measured poking 56 fine voxels under the GT vol_origin)
-    need = np.max(dims, axis=0) + 96 + MARGIN
-    ext = [int(np.ceil(n / 32) * 32) for n in need]
-    return "[" + ",".join(map(str, ext)) + "]"
+    from eprecon_tpu.data.transforms import get_view_frustum
+
+    vs, win, snap = 0.04, 96, 8
+    # the train transform's epoch-deterministic augmentation streams
+    # (RandomTransformSpace.__init__: rng(31))
+    rng = np.random.default_rng(31)
+    rand_r = rng.random(999)
+    rand_t = rng.random((999, 3))
+    pad_start = np.array([1.5, 1.5, 0.25])
+    pad_end = np.array([1.5, 1.5, 0.0])
+
+    def window_org(bnds, origin, dims_m, r, t3):
+        """Replicates RandomTransformSpace.__call__ + _window_and_gt's
+        window placement for one fragment (r=None → identity branch)."""
+        if r is None:
+            T = np.eye(4)
+            vol_origin = origin
+        else:
+            R2 = np.array([[np.cos(r), -np.sin(r)], [np.sin(r), np.cos(r)]])
+            xmin, ymin, zmin = origin
+            xmax, ymax, zmax = origin + dims_m
+            corners = R2 @ np.array([[xmin, xmin, xmax, xmax],
+                                     [ymin, ymax, ymin, ymax]])
+            start = np.array([corners[0].min(), corners[1].min(), zmin]) - pad_start
+            end = -dims_m + np.array([corners[0].max(), corners[1].max(), zmax]) + pad_end
+            t = t3 * start + (1 - t3) * end - origin
+            T = np.eye(4)
+            T[:2, :2] = R2
+            T[:3, 3] = -t
+            vol_origin = np.zeros(3)
+        # frustum corners transformed like the poses (world' = T @ world)
+        pts = T[:3, :3] @ bnds_pts(bnds) + T[:3, 3:4]
+        center = (np.array([(pts[0].min() + pts[0].max()) / 2,
+                            (pts[1].min() + pts[1].max()) / 2, -0.2])
+                  - vol_origin) / vs
+        center[:2] = np.round(center[:2] / snap) * snap
+        center[2] = np.floor(center[2] / snap) * snap
+        org = np.array([center[0] - win // 2, center[1] - win // 2, center[2]])
+        # window bounds in voxels relative to the reported vol_origin
+        return org
+
+    def bnds_pts(b):
+        x, y, z = b
+        return np.array(np.meshgrid(x, y, z, indexing="ij")).reshape(3, -1)
+
+    splits = {}
+    for split in ("train", "val", "test"):
+        p = os.path.join(DATA, "all_tsdf_9", f"fragments_{split}.pkl")
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                splits[split] = pickle.load(f)
+    lo = np.zeros(3)
+    hi = np.zeros(3)
+    cache = {}
+    for split, metas in splits.items():
+        for meta in metas:
+            scene = meta["scene"]
+            if scene not in cache:
+                sd = os.path.join(SCANS, scene)
+                intr = np.loadtxt(os.path.join(
+                    sd, "intrinsic", "intrinsic_depth.txt"))[:3, :3]
+                d0 = cv2.imread(sorted(glob.glob(os.path.join(
+                    sd, "depth", "*.png")))[0], cv2.IMREAD_UNCHANGED)
+                dims = np.load(os.path.join(
+                    DATA, "all_tsdf_9", scene,
+                    "full_tsdf_layer0.npz"))["arr_0"].shape
+                cache[scene] = (sd, intr, d0.shape[:2], np.asarray(dims))
+            sd, intr, size, dims = cache[scene]
+            b = np.stack([np.full(3, np.inf), np.full(3, -np.inf)], 1)
+            for fid in meta["image_ids"]:
+                pose = np.loadtxt(os.path.join(sd, "pose", f"{fid}.txt"))
+                pts = get_view_frustum(3.0, size, intr, pose)
+                b[:, 0] = np.minimum(b[:, 0], pts.min(1))
+                b[:, 1] = np.maximum(b[:, 1], pts.max(1))
+            origin = np.asarray(meta["vol_origin"], np.float64)
+            if train and split == "train":
+                for ep in range(EPOCHS):
+                    org = window_org(b, origin, dims * vs,
+                                     rand_r[ep] * 2 * np.pi, rand_t[ep])
+                    lo = np.minimum(lo, org)
+                    hi = np.maximum(hi, org + win)
+            if split == "test" or (train and split == "train"):
+                org = window_org(b, origin, dims * vs, None, None)
+                lo = np.minimum(lo, org)
+                hi = np.maximum(hi, org + win)
+    need_margin = int(np.ceil(max(0, -lo.min()) / snap) * snap)
+    margin = max(MARGIN, need_margin)
+    ext = [int(np.ceil(n / 32) * 32) for n in hi + margin]
+    if train:
+        margin = min(margin, TRAIN_CAP_MARGIN)
+        ext = [min(e, c) for e, c in zip(ext, TRAIN_CAP)]
+    return "[" + ",".join(map(str, ext)) + "]", margin
 
 
 def _cli(yaml, *overrides):
@@ -107,12 +208,12 @@ def train():
     # recipe, tests/quality_utils.py) + occ_init_threshold 0.05 (the init
     # head converges to its class prior before variance features become
     # discriminative; 0.3 empties every stage mask early in training)
+    ext, margin = scene_extent(train=True)
     _cli("train.yaml", "train.path", DATA, "logdir", CKPT,
          "train.epochs", EPOCHS, "train.lr", "1e-3",
          "train.accumulation_steps", 1, "model.occ_init_threshold", 0.05,
          "train.n_workers", 2, "save_freq", 5,
-         "model.global_extent", scene_extent(),
-         "model.origin_margin", MARGIN)
+         "model.global_extent", ext, "model.origin_margin", margin)
 
 
 def test():
@@ -120,10 +221,11 @@ def test():
 
     ckpts = sorted(glob.glob(os.path.join(CKPT, "model_*")))
     assert ckpts, f"no checkpoints under {CKPT}"
+    ext, margin = scene_extent()
     _cli("test.yaml", "test.path", DATA, "logdir", TESTLOG,
          "loadckpt", ckpts[-1], "model.occ_init_threshold", 0.05,
-         "test.n_workers", 2, "model.global_extent", scene_extent(),
-         "model.origin_margin", MARGIN)
+         "test.n_workers", 2, "model.global_extent", ext,
+         "model.origin_margin", margin)
 
 
 def report():
