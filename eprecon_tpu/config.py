@@ -96,6 +96,11 @@ class ModelConfig:
     # extents are this / 2^scale); window slices are dynamic_slice'd from it.
     # (256, 256, 128) @ 4 cm = 10.2 x 10.2 x 5.1 m — covers ScanNet rooms.
     global_extent: Tuple[int, int, int] = (256, 256, 128)
+    # size global_extent + origin_margin from the dataset's actual fragment
+    # window placements at run_train/run_test startup (data/extent.py:
+    # exact for eval, HBM-capped for train) instead of the fixed values
+    # above — use when scenes exceed the default volume (clip warnings)
+    global_extent_auto: bool = False
     # desired margin (finest-level voxels) the global volume keeps BELOW a
     # scene's vol_origin: keyframe frustums poke into empty space below the
     # observed geometry (up to max_depth / voxel_size voxels), so fragment

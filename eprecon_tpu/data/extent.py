@@ -1,0 +1,182 @@
+"""Dense-global-volume sizing from a dataset's actual window placements.
+
+The reference's global map is an unbounded sparse union
+(/root/reference/models/gru_fusion.py:91-98) and never needs sizing. Our
+TPU-first design keeps the global scene state DENSE (static shapes, windowed
+dynamic-slice updates), anchored at `scene_global_origin(vol_origin)` with
+extent `cfg.model.global_extent` — so a scene larger than the volume, or a
+fragment window placed outside it, hits the in-graph clamp and the
+reconstruction is silently truncated (inference warns:
+inference/pipeline.py clip detection).
+
+This module sizes (extent, origin_margin) EXACTLY by replicating the data
+pipeline's window placement (data/transforms.py RandomTransformSpace
+.__call__ + ._window_and_gt) for every fragment meta:
+
+- identity branch (test mode / no-GT inference): frustum-union xy center,
+  absolute z = -0.2 m, vol_origin reported true;
+- augmentation branch (train mode): the epoch-deterministic rotation /
+  translation streams (rng(31)) are swept for every requested epoch.
+
+Train-mode needs can be unaffordable (a rotated multi-room scene's diagonal
+plus padding jitter measured [448,384,352] voxels / margin 184 ≈ 3.9 GB of
+bf16 feature globals — OOM on a 16 GB v5e next to the ~10.7 GB train step),
+so `cap` bounds the result: a capped volume only clamps the GRU global-map
+writeback for outlier placements; per-fragment supervision is window-local
+and stays exact.
+
+Wire-up: set `model.global_extent_auto true` on the CLI and
+run_train/run_test resolve the extent from the dataset before building the
+model (eprecon_tpu/main.py).
+"""
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+# HBM-safe default cap for auto-sized TRAIN volumes (fine voxels): feature
+# globals 384*320*224 bf16 = 1.7 GB total beside the full-scale train step.
+DEFAULT_TRAIN_CAP = (384, 320, 224)
+DEFAULT_TRAIN_CAP_MARGIN = 96
+
+
+def _pad_scannet_size(size, intr):
+    """Size/intrinsics effect of transforms.pad_scannet (968 -> 972)."""
+    h, w = size
+    if (h, w) == (968, 1296):
+        intr = intr.copy()
+        intr[1, 2] += 2
+        return (972, w), intr
+    return size, intr
+
+
+def fit_global_extent(cfg, mode: str, epochs: Optional[int] = None,
+                      cap: Optional[Sequence[int]] = None,
+                      cap_margin: Optional[int] = None,
+                      round_to: int = 32) -> Tuple[Tuple[int, int, int], int]:
+    """(global_extent, origin_margin) covering every fragment window.
+
+    cfg: full Config (voxel size, n_vox, paddings, epochs, paths).
+    mode: "train" sweeps the augmentation stream over `epochs`
+    (default cfg.train.epochs) and applies `cap`; "test" sizes the identity
+    placement of the test split exactly.
+    """
+    from eprecon_tpu.data.transforms import get_view_frustum
+
+    m = cfg.model
+    vs = float(m.voxel_size)
+    win = np.asarray(m.n_vox)
+    snap = 2 ** 3  # transforms.py RandomTransformSpace n_layers default
+    train = mode == "train"
+    epochs = epochs or cfg.train.epochs
+    datapath = cfg.train.path if train else cfg.test.path
+    augment = train and (cfg.train.random_rotation_3d
+                         or cfg.train.random_translation_3d)
+
+    # the transform's epoch-deterministic streams (RandomTransformSpace)
+    rng = np.random.default_rng(31)
+    rand_r = rng.random(999)
+    rand_t = rng.random((999, 3))
+    pad_start = np.array([cfg.train.pad_xy_3d, cfg.train.pad_xy_3d,
+                          cfg.train.pad_z_3d])
+    pad_end = np.array([cfg.train.pad_xy_3d, cfg.train.pad_xy_3d, 0.0])
+
+    def corners(b):
+        x, y, z = b
+        return np.array(np.meshgrid(x, y, z, indexing="ij")).reshape(3, -1)
+
+    def window_org(bnds, origin, dims_m, r, t3):
+        if r is None:
+            T = np.eye(4)
+            vol_origin = origin
+        else:
+            R2 = np.array([[np.cos(r), -np.sin(r)], [np.sin(r), np.cos(r)]])
+            xmin, ymin, zmin = origin
+            xmax, ymax, zmax = origin + dims_m
+            c2 = R2 @ np.array([[xmin, xmin, xmax, xmax],
+                                [ymin, ymax, ymin, ymax]])
+            start = np.array([c2[0].min(), c2[1].min(), zmin]) - pad_start
+            end = (-dims_m + np.array([c2[0].max(), c2[1].max(), zmax])
+                   + pad_end)
+            t = t3 * start + (1 - t3) * end - origin
+            T = np.eye(4)
+            T[:2, :2] = R2
+            T[:3, 3] = -t
+            vol_origin = np.zeros(3)
+        pts = T[:3, :3] @ corners(bnds) + T[:3, 3:4]
+        center = (np.array([(pts[0].min() + pts[0].max()) / 2,
+                            (pts[1].min() + pts[1].max()) / 2, -0.2])
+                  - vol_origin) / vs
+        center[:2] = np.round(center[:2] / snap) * snap
+        center[2] = np.floor(center[2] / snap) * snap
+        return np.array([center[0] - win[0] // 2, center[1] - win[1] // 2,
+                         center[2]])
+
+    splits = ("train", "val") if train else ("test",)
+    metas = []
+    for split in splits:
+        p = os.path.join(datapath, "all_tsdf_9", f"fragments_{split}.pkl")
+        if not os.path.exists(p):
+            p = os.path.join(datapath, f"fragments_{split}.pkl")
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                metas += [(split, x) for x in pickle.load(f)]
+    if not metas:
+        raise FileNotFoundError(f"no fragment pkls under {datapath}")
+
+    # mirror data/scannet.py source_path (scans_test may be a symlink)
+    source = os.path.join(datapath, "scans_test" if not train else "scans")
+    if not os.path.isdir(source):
+        source = os.path.join(datapath, "scans")
+    if not os.path.isdir(source):
+        source = datapath
+    lo = np.zeros(3)
+    hi = np.zeros(3)
+    cache = {}
+    for split, meta in metas:
+        scene = meta["scene"]
+        if scene not in cache:
+            sd = os.path.join(source, scene)
+            intr = np.loadtxt(os.path.join(
+                sd, "intrinsic", "intrinsic_color.txt"))[:3, :3]
+            import cv2
+
+            c0 = sorted(glob.glob(os.path.join(sd, "color", "*.jpg")))
+            img = cv2.imread(c0[0])
+            size, intr = _pad_scannet_size(img.shape[:2], intr)
+            gt = os.path.join(datapath, "all_tsdf_9", scene,
+                              "full_tsdf_layer0.npz")
+            d = np.load(gt)
+            dims = d[d.files[0]].shape
+            cache[scene] = (sd, intr, size, np.asarray(dims))
+        sd, intr, size, dims = cache[scene]
+        b = np.stack([np.full(3, np.inf), np.full(3, -np.inf)], 1)
+        for fid in meta["image_ids"]:
+            pose = np.loadtxt(os.path.join(sd, "pose", f"{fid}.txt"))
+            pts = get_view_frustum(3.0, size, intr, pose)
+            b[:, 0] = np.minimum(b[:, 0], pts.min(1))
+            b[:, 1] = np.maximum(b[:, 1], pts.max(1))
+        origin = np.asarray(meta["vol_origin"], np.float64)
+        if augment:
+            for ep in range(epochs):
+                org = window_org(b, origin, dims * vs,
+                                 rand_r[ep] * 2 * np.pi, rand_t[ep])
+                lo = np.minimum(lo, org)
+                hi = np.maximum(hi, org + win)
+        else:
+            org = window_org(b, origin, dims * vs, None, None)
+            lo = np.minimum(lo, org)
+            hi = np.maximum(hi, org + win)
+
+    margin = int(np.ceil(max(0, -lo.min()) / snap) * snap)
+    margin = max(margin, int(m.origin_margin))
+    ext = [int(np.ceil(n / round_to) * round_to) for n in hi + margin]
+    if train:
+        cap = tuple(cap or DEFAULT_TRAIN_CAP)
+        margin = min(margin, cap_margin or DEFAULT_TRAIN_CAP_MARGIN)
+        ext = [min(e, c) for e, c in zip(ext, cap)]
+    return tuple(ext), margin

@@ -31,8 +31,26 @@ def build_dataset(cfg, mode: str, epoch: int = 0):
                   epoch=epoch)
 
 
+def _resolve_auto_extent(cfg, mode: str):
+    """model.global_extent_auto: size the dense global volume from the
+    dataset's actual window placements (data/extent.py) before building
+    anything shape-dependent."""
+    if not cfg.model.global_extent_auto:
+        return cfg
+    import dataclasses
+
+    from eprecon_tpu.data.extent import fit_global_extent
+
+    ext, margin = fit_global_extent(cfg, mode)
+    print(f"auto global_extent ({mode}): {list(ext)}, origin_margin {margin}")
+    return dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, global_extent=ext, origin_margin=margin))
+
+
 def run_train(cfg):
     import jax
+
+    cfg = _resolve_auto_extent(cfg, "train")
 
     from eprecon_tpu.data.sampler import ContiguousDistributedSampler
     from eprecon_tpu.models.eprecon import make_recurrent_state
@@ -100,6 +118,8 @@ def _make_prefetcher(cfg, dataset, n_workers: int):
 def run_test(cfg):
     import jax
     import numpy as np
+
+    cfg = _resolve_auto_extent(cfg, "test")
 
     from eprecon_tpu.inference.pipeline import StreamingReconstructor
     from eprecon_tpu.models.eprecon import EPRecon, make_recurrent_state

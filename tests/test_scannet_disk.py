@@ -252,3 +252,36 @@ def test_train_checkpoint_eval_handoff(scannet_root, tmp_path):
     for key in ("AbsRel", "RMSE", "r1", "fscore"):
         assert key in m, (key, m)
         assert np.isfinite(m[key]) or np.isnan(m[key])
+
+
+@pytest.mark.slow
+def test_auto_extent_covers_all_windows(scannet_root):
+    """data/extent.py sizes the dense global volume so that every fragment
+    window of the split indexes non-negatively and fits inside the extent
+    (the clamp-truncation class of bug behind the round-4 production-eval
+    recall collapse)."""
+    from eprecon_tpu.data.extent import fit_global_extent
+    from eprecon_tpu.main import build_dataset
+    from eprecon_tpu.ops.grid import scene_global_origin
+
+    cfg = _cfg(scannet_root, scannet_root, "test")
+    ext, margin = fit_global_extent(cfg, "test", round_to=8)
+    m = cfg.model
+    assert all(e >= n for e, n in zip(ext, m.n_vox))
+    assert margin % (2 ** m.n_scales) == 0 or margin >= 0
+
+    ds = build_dataset(cfg, "test")
+    for i in range(len(ds)):
+        s = ds[i]
+        go = scene_global_origin(ext, m.n_vox, m.n_scales, m.voxel_size,
+                                 np.asarray(s["vol_origin"], np.float32),
+                                 margin)
+        rel = np.round((s["vol_origin_partial"] - go) / m.voxel_size)
+        assert (rel >= 0).all(), (i, rel)
+        assert (rel + m.n_vox <= ext).all(), (i, rel, ext)
+
+    # train mode applies the HBM cap
+    ext_t, margin_t = fit_global_extent(cfg, "train", epochs=3, round_to=8,
+                                        cap=(64, 64, 48), cap_margin=24)
+    assert all(e <= c for e, c in zip(ext_t, (64, 64, 48)))
+    assert margin_t <= 24

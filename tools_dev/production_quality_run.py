@@ -78,121 +78,25 @@ def gen_gt():
 
 
 def scene_extent(train: bool = False):
-    """Global volume (fine voxels, multiples of 32) + origin margin sized by
-    replicating the dataset's exact window placement (RandomTransformSpace
-    __call__ + _window_and_gt) for every fragment pkl entry.
+    """(extent-string, margin) via the product sizing (data/extent.py) with
+    this run's margin floor. Kept as a thin wrapper so the phases below can
+    pass explicit overrides; `model.global_extent_auto true` does the same
+    inside run_train/run_test."""
+    import dataclasses
 
-    train=False: the identity-branch placement of the test split — sized
-    EXACTLY, zero clamps where metrics are scored.
-    train=True: additionally sweeps every train-epoch augmentation (the
-    rng(31) streams are deterministic), then CAPS at an HBM-safe bound
-    (TRAIN_CAP): rotated multi-room scenes occasionally place windows far
-    outside any affordable dense volume (exact need measured [448,384,352]
-    / margin 184 — feature globals ~3.9 GB bf16, OOM on v5e next to the
-    ~10.7 GB train step). A capped volume only clamps the GRU global-map
-    writeback for those outlier fragments (per-fragment supervision is
-    window-local and stays exact); the reference's sparse union
-    (gru_fusion.py:91-98) is unbounded and never clamps.
-    The config default (256,256,128) is smaller than a 2-room synthetic
-    scene (~285 voxels wide) — that, plus the old zeroed-vol_origin anchor
-    bug, was the round-4 recall collapse."""
-    import glob
-    import pickle
+    from eprecon_tpu.config import default_config
+    from eprecon_tpu.data.extent import fit_global_extent
 
-    import cv2
-    import numpy as np
-
-    from eprecon_tpu.data.transforms import get_view_frustum
-
-    vs, win, snap = 0.04, 96, 8
-    # the train transform's epoch-deterministic augmentation streams
-    # (RandomTransformSpace.__init__: rng(31))
-    rng = np.random.default_rng(31)
-    rand_r = rng.random(999)
-    rand_t = rng.random((999, 3))
-    pad_start = np.array([1.5, 1.5, 0.25])
-    pad_end = np.array([1.5, 1.5, 0.0])
-
-    def window_org(bnds, origin, dims_m, r, t3):
-        """Replicates RandomTransformSpace.__call__ + _window_and_gt's
-        window placement for one fragment (r=None → identity branch)."""
-        if r is None:
-            T = np.eye(4)
-            vol_origin = origin
-        else:
-            R2 = np.array([[np.cos(r), -np.sin(r)], [np.sin(r), np.cos(r)]])
-            xmin, ymin, zmin = origin
-            xmax, ymax, zmax = origin + dims_m
-            corners = R2 @ np.array([[xmin, xmin, xmax, xmax],
-                                     [ymin, ymax, ymin, ymax]])
-            start = np.array([corners[0].min(), corners[1].min(), zmin]) - pad_start
-            end = -dims_m + np.array([corners[0].max(), corners[1].max(), zmax]) + pad_end
-            t = t3 * start + (1 - t3) * end - origin
-            T = np.eye(4)
-            T[:2, :2] = R2
-            T[:3, 3] = -t
-            vol_origin = np.zeros(3)
-        # frustum corners transformed like the poses (world' = T @ world)
-        pts = T[:3, :3] @ bnds_pts(bnds) + T[:3, 3:4]
-        center = (np.array([(pts[0].min() + pts[0].max()) / 2,
-                            (pts[1].min() + pts[1].max()) / 2, -0.2])
-                  - vol_origin) / vs
-        center[:2] = np.round(center[:2] / snap) * snap
-        center[2] = np.floor(center[2] / snap) * snap
-        org = np.array([center[0] - win // 2, center[1] - win // 2, center[2]])
-        # window bounds in voxels relative to the reported vol_origin
-        return org
-
-    def bnds_pts(b):
-        x, y, z = b
-        return np.array(np.meshgrid(x, y, z, indexing="ij")).reshape(3, -1)
-
-    splits = {}
-    for split in ("train", "val", "test"):
-        p = os.path.join(DATA, "all_tsdf_9", f"fragments_{split}.pkl")
-        if os.path.exists(p):
-            with open(p, "rb") as f:
-                splits[split] = pickle.load(f)
-    lo = np.zeros(3)
-    hi = np.zeros(3)
-    cache = {}
-    for split, metas in splits.items():
-        for meta in metas:
-            scene = meta["scene"]
-            if scene not in cache:
-                sd = os.path.join(SCANS, scene)
-                intr = np.loadtxt(os.path.join(
-                    sd, "intrinsic", "intrinsic_depth.txt"))[:3, :3]
-                d0 = cv2.imread(sorted(glob.glob(os.path.join(
-                    sd, "depth", "*.png")))[0], cv2.IMREAD_UNCHANGED)
-                dims = np.load(os.path.join(
-                    DATA, "all_tsdf_9", scene,
-                    "full_tsdf_layer0.npz"))["arr_0"].shape
-                cache[scene] = (sd, intr, d0.shape[:2], np.asarray(dims))
-            sd, intr, size, dims = cache[scene]
-            b = np.stack([np.full(3, np.inf), np.full(3, -np.inf)], 1)
-            for fid in meta["image_ids"]:
-                pose = np.loadtxt(os.path.join(sd, "pose", f"{fid}.txt"))
-                pts = get_view_frustum(3.0, size, intr, pose)
-                b[:, 0] = np.minimum(b[:, 0], pts.min(1))
-                b[:, 1] = np.maximum(b[:, 1], pts.max(1))
-            origin = np.asarray(meta["vol_origin"], np.float64)
-            if train and split == "train":
-                for ep in range(EPOCHS):
-                    org = window_org(b, origin, dims * vs,
-                                     rand_r[ep] * 2 * np.pi, rand_t[ep])
-                    lo = np.minimum(lo, org)
-                    hi = np.maximum(hi, org + win)
-            if split == "test" or (train and split == "train"):
-                org = window_org(b, origin, dims * vs, None, None)
-                lo = np.minimum(lo, org)
-                hi = np.maximum(hi, org + win)
-    need_margin = int(np.ceil(max(0, -lo.min()) / snap) * snap)
-    margin = max(MARGIN, need_margin)
-    ext = [int(np.ceil(n / 32) * 32) for n in hi + margin]
-    if train:
-        margin = min(margin, TRAIN_CAP_MARGIN)
-        ext = [min(e, c) for e, c in zip(ext, TRAIN_CAP)]
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, origin_margin=MARGIN),
+        train=dataclasses.replace(cfg.train, path=DATA, epochs=EPOCHS,
+                                  n_views=9),
+        test=dataclasses.replace(cfg.test, path=DATA, n_views=9))
+    ext, margin = fit_global_extent(cfg, "train" if train else "test",
+                                    cap=TRAIN_CAP,
+                                    cap_margin=TRAIN_CAP_MARGIN)
     return "[" + ",".join(map(str, ext)) + "]", margin
 
 
