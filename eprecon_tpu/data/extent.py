@@ -38,9 +38,11 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-# HBM-safe default cap for auto-sized TRAIN volumes (fine voxels): feature
-# globals 384*320*224 bf16 = 1.7 GB total beside the full-scale train step.
-DEFAULT_TRAIN_CAP = (384, 320, 224)
+# HBM-safe default cap for auto-sized TRAIN volumes (fine voxels). Measured
+# on the 16 GB v5e: [384,320,224] at remat "light" RESOURCE_EXHAUSTED at the
+# first full-scale train step (globals ~1.7 GB bf16 + step temps); this cap
+# (~1.0 GB of globals) leaves the step its round-3-measured ~10.7 GB.
+DEFAULT_TRAIN_CAP = (320, 256, 192)
 DEFAULT_TRAIN_CAP_MARGIN = 96
 
 

@@ -28,7 +28,7 @@ N_TRAIN_SCENES, N_FRAMES, N_ROOMS = 3, 96, 2
 MARGIN = 64  # minimum model.origin_margin (fine voxels)
 # HBM-safe train-phase bounds (see scene_extent docstring): feature globals
 # 384*320*224 bf16 = 1.7 GB next to the ~10.7 GB remat-light train step
-TRAIN_CAP = (384, 320, 224)
+TRAIN_CAP = (320, 256, 192)
 TRAIN_CAP_MARGIN = 96
 DATA = os.path.join(ROOT, "data")
 SCANS = os.path.join(DATA, "scans")
@@ -117,7 +117,8 @@ def train():
          "train.epochs", EPOCHS, "train.lr", "1e-3",
          "train.accumulation_steps", 1, "model.occ_init_threshold", 0.05,
          "train.n_workers", 2, "save_freq", 5,
-         "model.global_extent", ext, "model.origin_margin", margin)
+         "model.global_extent", ext, "model.origin_margin", margin,
+         "model.remat_mode", "full")
 
 
 def test():
