@@ -87,15 +87,17 @@ def fit_global_extent(cfg, mode: str, epochs: Optional[int] = None,
                           cfg.train.pad_z_3d])
     pad_end = np.array([cfg.train.pad_xy_3d, cfg.train.pad_xy_3d, 0.0])
 
-    def corners(b):
-        x, y, z = b
-        return np.array(np.meshgrid(x, y, z, indexing="ij")).reshape(3, -1)
-
-    def window_org(bnds, origin, dims_m, r, t3):
+    def window_org(frustum_pts, origin, dims_m, r, t3):
+        """Window origin for one fragment under augmentation (r, t3), or the
+        identity placement (r is None). Transforms the PER-VIEW frustum
+        points — exactly what transforms.py does by applying T to the
+        extrinsics before get_view_frustum — not a rotated union-AABB, whose
+        bounds center can differ and cross the 8-voxel snap."""
         if r is None:
             T = np.eye(4)
             vol_origin = origin
         else:
+            # r/t3 already encode the individual random_* flags (see sweep)
             R2 = np.array([[np.cos(r), -np.sin(r)], [np.sin(r), np.cos(r)]])
             xmin, ymin, zmin = origin
             xmax, ymax, zmax = origin + dims_m
@@ -109,7 +111,7 @@ def fit_global_extent(cfg, mode: str, epochs: Optional[int] = None,
             T[:2, :2] = R2
             T[:3, 3] = -t
             vol_origin = np.zeros(3)
-        pts = T[:3, :3] @ corners(bnds) + T[:3, 3:4]
+        pts = T[:3, :3] @ frustum_pts + T[:3, 3:4]
         center = (np.array([(pts[0].min() + pts[0].max()) / 2,
                             (pts[1].min() + pts[1].max()) / 2, -0.2])
                   - vol_origin) / vs
@@ -156,29 +158,48 @@ def fit_global_extent(cfg, mode: str, epochs: Optional[int] = None,
             dims = d[d.files[0]].shape
             cache[scene] = (sd, intr, size, np.asarray(dims))
         sd, intr, size, dims = cache[scene]
-        b = np.stack([np.full(3, np.inf), np.full(3, -np.inf)], 1)
-        for fid in meta["image_ids"]:
-            pose = np.loadtxt(os.path.join(sd, "pose", f"{fid}.txt"))
-            pts = get_view_frustum(3.0, size, intr, pose)
-            b[:, 0] = np.minimum(b[:, 0], pts.min(1))
-            b[:, 1] = np.maximum(b[:, 1], pts.max(1))
+        pts = np.concatenate(
+            [get_view_frustum(3.0, size, intr,
+                              np.loadtxt(os.path.join(sd, "pose",
+                                                      f"{fid}.txt")))
+             for fid in meta["image_ids"]], axis=1)
         origin = np.asarray(meta["vol_origin"], np.float64)
         if augment:
             for ep in range(epochs):
-                org = window_org(b, origin, dims * vs,
-                                 rand_r[ep] * 2 * np.pi, rand_t[ep])
+                # per-flag streams exactly as RandomTransformSpace.__call__:
+                # rotation off → r = 0; translation off → t = 0.5 (centered)
+                r = (rand_r[ep] * 2 * np.pi
+                     if cfg.train.random_rotation_3d else 0.0)
+                t3 = (rand_t[ep]
+                      if cfg.train.random_translation_3d else np.full(3, .5))
+                org = window_org(pts, origin, dims * vs, r, t3)
                 lo = np.minimum(lo, org)
                 hi = np.maximum(hi, org + win)
         else:
-            org = window_org(b, origin, dims * vs, None, None)
+            org = window_org(pts, origin, dims * vs, None, None)
             lo = np.minimum(lo, org)
             hi = np.maximum(hi, org + win)
 
     margin = int(np.ceil(max(0, -lo.min()) / snap) * snap)
     margin = max(margin, int(m.origin_margin))
-    ext = [int(np.ceil(n / round_to) * round_to) for n in hi + margin]
+    # guarantee scene_global_origin honors the FULL margin: it spends at most
+    # half the slack (extent - window) below vol_origin, so extent must be at
+    # least window + 2*margin per axis or the applied margin silently halves
+    # and fragments relocate — the clamp-truncation bug this module exists to
+    # prevent (round-4: train z-margin 96 silently became 48)
+    need = [int(np.ceil(max(h, w + 2 * margin) / round_to) * round_to)
+            for h, w in zip(hi + margin, win)]
+    ext = need
     if train:
         cap = tuple(cap or DEFAULT_TRAIN_CAP)
         margin = min(margin, cap_margin or DEFAULT_TRAIN_CAP_MARGIN)
         ext = [min(e, c) for e, c in zip(ext, cap)]
+        if ext != need:
+            # per-axis margins scene_global_origin will actually apply
+            applied = [min(margin, (e - w) // 2 // snap * snap)
+                       for e, w in zip(ext, win)]
+            print(f"fit_global_extent: train cap truncates coverage — "
+                  f"need extent {need}, capped to {ext} (applied per-axis "
+                  f"margins {applied} of requested {margin}); out-of-volume "
+                  f"fragment windows will clamp (GRU writeback relocated)")
     return tuple(ext), margin

@@ -250,6 +250,7 @@ class EPReconCore(nn.Module):
         new_tmaps: List[DenseTargetLevel] = []
         pano_feats_dense: List[jnp.ndarray] = []   # [X,Y,Z, gru_ch] per stage
         pano_masks: List[jnp.ndarray] = []
+        pano_scores: List[jnp.ndarray] = []        # occ logits, per stage
         prev_feats = None  # dense [X,Y,Z, channels+2]
         final = {}
 
@@ -355,6 +356,9 @@ class EPReconCore(nn.Module):
 
             pano_feats_dense.append(jnp.where(occupancy[..., None], fused, 0.0))
             pano_masks.append(occupancy)
+            # occ logits order capacity-overflow truncation by confidence
+            # (stop_gradient: selection order must not leak gradients)
+            pano_scores.append(jax.lax.stop_gradient(occ))
 
             if i == cfg.n_layer - 1:
                 final = dict(tsdf=tsdf, occupancy=occupancy,
@@ -403,7 +407,8 @@ class EPReconCore(nn.Module):
         overflow = jnp.zeros((), jnp.int32)
         for p in range(2):
             stride = 2 ** (n_scales - p)
-            svx, ovf = sp.dense_to_sparse(lvl_dense[p], pano_masks[p], caps[p])
+            svx, ovf = sp.dense_to_sparse(lvl_dense[p], pano_masks[p], caps[p],
+                                          score=pano_scores[p])
             lvl_feats.append(svx.feats)
             lvl_coords.append(svx.coords[:, 1:] * stride)  # fine units
             lvl_valid.append(svx.valid)
@@ -418,7 +423,8 @@ class EPReconCore(nn.Module):
         fine_sv, (fine_feats, fine_tsdf), ovf = sp.compact(
             pano_masks[2].reshape(-1), fine_coords, caps[2],
             jnp.concatenate([lvl_dense[2], mf], axis=-1).reshape(n_fine, -1),
-            outputs["tsdf_window"].reshape(n_fine, 1))
+            outputs["tsdf_window"].reshape(n_fine, 1),
+            score=pano_scores[2].reshape(-1))
         lvl_feats.append(fine_feats[:, :pano_ch])
         lvl_coords.append(fine_sv.coords[:, 1:])
         lvl_valid.append(fine_sv.valid)

@@ -298,26 +298,41 @@ def downsample_coords(sv: SparseVoxels, window: Tuple[int, int, int],
 
 
 def compact(mask: jnp.ndarray, coords: jnp.ndarray, capacity: int,
-            *feat_arrays: jnp.ndarray) -> Tuple[SparseVoxels, Tuple[jnp.ndarray, ...], jnp.ndarray]:
+            *feat_arrays: jnp.ndarray,
+            score: Optional[jnp.ndarray] = None
+            ) -> Tuple[SparseVoxels, Tuple[jnp.ndarray, ...], jnp.ndarray]:
     """Pack rows where mask is True into the first `capacity` slots.
 
     coords: [N, 4]; feat_arrays: [N, ...] each. Deterministic (original order
-    preserved). Returns (SparseVoxels with first feat array — or zero-channel
-    feats if none given, the packed extra arrays, overflow count).
+    preserved). With `score` [N] f32, overflow keeps the HIGHEST-scoring rows
+    (still emitted in original order) instead of the first `capacity` in grid
+    order — grid-order truncation drops whole spatial regions, which during
+    early training silently deletes ~90k voxels/step from the same corner of
+    the window (the reference instead ABORTS overflowing fragments,
+    neucon_network.py:462-484; score-ordered truncation degrades gracefully
+    where abort would stall epoch 0 entirely). Returns (SparseVoxels with
+    first feat array — or zero-channel feats if none given, the packed extra
+    arrays, overflow count).
     """
     n = mask.shape[0]
-    key = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
-    # top_k over negated keys → smallest keys first (original order)
     k_eff = min(capacity, n)
-    _, order = jax.lax.top_k(-key, k_eff)
+    if score is None:
+        key = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+        # top_k over negated keys → smallest keys first (original order)
+        _, order = jax.lax.top_k(-key, k_eff)
+        sel_valid = key[order] < n
+    else:
+        s = jnp.where(mask, score.astype(jnp.float32), -jnp.inf)
+        _, cand = jax.lax.top_k(s, k_eff)  # best-scoring masked rows
+        # re-sort the selected row indices ascending → original grid order
+        sorted_key = jnp.sort(jnp.where(mask[cand], cand, jnp.int32(n)))
+        order = jnp.minimum(sorted_key, n - 1)
+        sel_valid = sorted_key < n
     if k_eff < capacity:  # capacity exceeds the candidate count: pad
         order = jnp.concatenate(
             [order, jnp.zeros(capacity - k_eff, order.dtype)])
-        pad_mask = jnp.arange(capacity) < k_eff
-        key_sel = jnp.where(pad_mask, key[order], jnp.int32(n))
-        sel_valid = key_sel < n
-    else:
-        sel_valid = key[order] < n
+        sel_valid = jnp.concatenate(
+            [sel_valid, jnp.zeros(capacity - k_eff, bool)])
     out_coords = jnp.where(sel_valid[:, None], coords[order], 0)
     packed = tuple(
         jnp.where(sel_valid.reshape(sel_valid.shape + (1,) * (a.ndim - 1)),
@@ -352,9 +367,13 @@ def sparse_to_dense(coords: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray
 
 
 def dense_to_sparse(dense: jnp.ndarray, mask: jnp.ndarray, capacity: int,
-                    batch_index: int = 0) -> Tuple[SparseVoxels, jnp.ndarray]:
+                    batch_index: int = 0,
+                    score: Optional[jnp.ndarray] = None
+                    ) -> Tuple[SparseVoxels, jnp.ndarray]:
     """Compact a dense [X, Y, Z, C] volume's masked voxels into K slots.
 
+    score: optional dense [X, Y, Z] confidence — on overflow the
+    highest-scoring voxels are kept (see compact).
     Returns (SparseVoxels with (b,x,y,z) coords, overflow count).
     """
     from eprecon_tpu.ops.grid import dense_coords
@@ -364,6 +383,7 @@ def dense_to_sparse(dense: jnp.ndarray, mask: jnp.ndarray, capacity: int,
     coords3 = dense_coords(shape).reshape(-1, 3)
     b = jnp.full((coords3.shape[0], 1), batch_index, jnp.int32)
     coords = jnp.concatenate([b, coords3], axis=1)
-    sv, (feats,), overflow = compact(mask.reshape(-1), coords, capacity,
-                                     dense.reshape(n, dense.shape[-1]))
+    sv, (feats,), overflow = compact(
+        mask.reshape(-1), coords, capacity, dense.reshape(n, dense.shape[-1]),
+        score=None if score is None else score.reshape(-1))
     return SparseVoxels(sv.coords, feats, sv.valid), overflow

@@ -38,8 +38,25 @@ def latest_checkpoint(logdir: str) -> Optional[str]:
 
 
 def restore_checkpoint(path: str, target: Any) -> Any:
-    """Restore into the structure of `target` (shapes/dtypes as template)."""
-    return _ckptr().restore(os.path.abspath(path), item=jax.device_get(target))
+    """Restore into the structure of `target` (shapes/dtypes as template).
+
+    Format note: round 4 (commit a2c632d) wrapped the optimizer in
+    optax.flatten, which changed the opt_state pytree from per-leaf Adam
+    moments to one raveled vector. Checkpoints written before that cannot be
+    resumed into the current structure; fail with a clear message instead of
+    orbax's structure-mismatch traceback (params-only warm start via
+    `loadckpt` + restore_submodule still works on old files)."""
+    try:
+        return _ckptr().restore(os.path.abspath(path),
+                                item=jax.device_get(target))
+    except ValueError as e:
+        if target is not None and "opt_state" in str(e):
+            raise ValueError(
+                f"checkpoint {path} has an incompatible opt_state layout "
+                f"(pre-flat-optimizer format, before round-4 commit "
+                f"a2c632d). Full resume is not possible; warm-start params "
+                f"only with `loadckpt` into a fresh optimizer.") from e
+        raise
 
 
 def restore_submodule(path: str, target_params: Any, prefix: str) -> Any:

@@ -269,6 +269,11 @@ def test_auto_extent_covers_all_windows(scannet_root):
     m = cfg.model
     assert all(e >= n for e, n in zip(ext, m.n_vox))
     assert margin % (2 ** m.n_scales) == 0 or margin >= 0
+    # scene_global_origin spends at most half the slack below vol_origin, so
+    # the fit must guarantee extent >= window + 2*margin per axis or the
+    # applied margin silently halves and fragments relocate (round-4
+    # production regression; ADVICE r4 medium)
+    assert all(e >= w + 2 * margin for e, w in zip(ext, m.n_vox)), (ext, margin)
 
     ds = build_dataset(cfg, "test")
     for i in range(len(ds)):
@@ -285,3 +290,37 @@ def test_auto_extent_covers_all_windows(scannet_root):
                                         cap=(64, 64, 48), cap_margin=24)
     assert all(e <= c for e, c in zip(ext_t, (64, 64, 48)))
     assert margin_t <= 24
+
+
+@pytest.mark.slow
+def test_auto_extent_train_sweep_exact(scannet_root):
+    """The train-mode sweep must predict the data pipeline's ACTUAL window
+    placements (ADVICE r4: rotating the frustum-union AABB instead of the
+    per-view frustum points can cross the 8-voxel snap and mispredict by a
+    window-relocation's worth). Uncapped fit, then every augmented epoch's
+    real placements must fit."""
+    import dataclasses
+
+    from eprecon_tpu.data.extent import fit_global_extent
+    from eprecon_tpu.main import build_dataset
+    from eprecon_tpu.ops.grid import scene_global_origin
+
+    epochs = 3
+    cfg = _cfg(scannet_root, scannet_root, "train")
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, random_rotation_3d=True, random_translation_3d=True))
+    m = cfg.model
+    ext, margin = fit_global_extent(cfg, "train", epochs=epochs, round_to=8,
+                                    cap=(10_000, 10_000, 10_000),
+                                    cap_margin=10_000)
+    ds = build_dataset(cfg, "train")
+    for ep in range(epochs):
+        ds.epoch = ep
+        for i in range(len(ds)):
+            s = ds[i]
+            go = scene_global_origin(ext, m.n_vox, m.n_scales, m.voxel_size,
+                                     np.asarray(s["vol_origin"], np.float32),
+                                     margin)
+            rel = np.round((s["vol_origin_partial"] - go) / m.voxel_size)
+            assert (rel >= 0).all(), (ep, i, rel, margin)
+            assert (rel + m.n_vox <= ext).all(), (ep, i, rel, ext)

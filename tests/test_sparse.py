@@ -135,6 +135,44 @@ def test_compact_overflow():
     assert int(sv.num_valid()) == 32
 
 
+def test_compact_score_keeps_best(rng):
+    """Score-ordered overflow keeps the highest-scoring rows, emitted in
+    original grid order (VERDICT r4 #4: grid-order truncation dropped whole
+    spatial regions during epoch 0)."""
+    n, cap = 200, 32
+    coords = np.concatenate([np.zeros((n, 1)),
+                             np.arange(n)[:, None].repeat(3, 1)],
+                            axis=1).astype(np.int32)
+    score = rng.permutation(n).astype(np.float32)
+    mask = np.ones(n, bool)
+    mask[::7] = False
+    sv, _, overflow = sp.compact(jnp.asarray(mask), jnp.asarray(coords), cap,
+                                 score=jnp.asarray(score))
+    assert int(overflow) == mask.sum() - cap
+    kept = np.asarray(sv.coords)[np.asarray(sv.valid), 1]
+    expect = np.sort(np.argsort(np.where(mask, score, -np.inf))[-cap:])
+    np.testing.assert_array_equal(kept, expect)          # best rows kept
+    np.testing.assert_array_equal(kept, np.sort(kept))   # original order
+
+
+def test_compact_score_no_overflow_matches_default(rng):
+    """Under capacity, score ordering must be a no-op (same packing as the
+    default path), so converged-model behavior is unchanged."""
+    n = 100
+    coords = np.concatenate([np.zeros((n, 1)),
+                             rng.integers(0, 50, (n, 3))], 1).astype(np.int32)
+    feats = rng.standard_normal((n, 4)).astype(np.float32)
+    mask = rng.random(n) < 0.4
+    score = rng.standard_normal(n).astype(np.float32)
+    a = sp.compact(jnp.asarray(mask), jnp.asarray(coords), 64,
+                   jnp.asarray(feats))
+    b = sp.compact(jnp.asarray(mask), jnp.asarray(coords), 64,
+                   jnp.asarray(feats), score=jnp.asarray(score))
+    np.testing.assert_array_equal(np.asarray(a[0].coords), np.asarray(b[0].coords))
+    np.testing.assert_array_equal(np.asarray(a[0].valid), np.asarray(b[0].valid))
+    np.testing.assert_allclose(np.asarray(a[1][0]), np.asarray(b[1][0]))
+
+
 def test_sparse_to_dense_roundtrip(rng):
     sv, coords, feats = make_voxels(rng, 30, 32, span=6, channels=5)
     dense = sp.sparse_to_dense(sv.coords[:, 1:], sv.feats, sv.valid, (6, 6, 6))
