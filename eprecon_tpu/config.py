@@ -96,6 +96,16 @@ class ModelConfig:
     # extents are this / 2^scale); window slices are dynamic_slice'd from it.
     # (256, 256, 128) @ 4 cm = 10.2 x 10.2 x 5.1 m — covers ScanNet rooms.
     global_extent: Tuple[int, int, int] = (256, 256, 128)
+    # where the dense global volume anchors per scene:
+    #   "window_union" — at the per-(scene, epoch) minimum fragment-window
+    #       origin the dataset predicts (data/scannet.py scene_anchor); the
+    #       extent only has to cover one epoch's window SPAN, so geometric
+    #       placement is exact at a fraction of the HBM (round-5 fix for the
+    #       train-time window clamping both round-4 production runs had)
+    #   "vol_origin" — at scene vol_origin - origin_margin (round-4 scheme;
+    #       translation augmentation sweeps windows across the padded scene,
+    #       so full coverage needs all-epoch-union extents)
+    scene_anchor: str = "window_union"
     # size global_extent + origin_margin from the dataset's actual fragment
     # window placements at run_train/run_test startup (data/extent.py:
     # exact for eval, HBM-capped for train) instead of the fixed values

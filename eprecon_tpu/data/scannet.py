@@ -133,6 +133,95 @@ class ScanNetDataset:
             self._size_cache[scene] = (h, w)
         return self._size_cache[scene]
 
+    def _find_rts(self):
+        """The RandomTransformSpace stage of the transform pipeline (None if
+        absent) — needed to predict window placement for scene anchoring."""
+        if not hasattr(self, "_rts"):
+            self._rts = None
+            stages = getattr(self.transforms, "transforms", [])
+            for t in stages:
+                if hasattr(t, "window_origin") and hasattr(t, "epoch_transform"):
+                    self._rts = t
+        return self._rts
+
+    def _scene_frustums(self, scene: str):
+        """Per-fragment stacked view-frustum corner points (world frame,
+        untransformed), cached per scene. Frustum geometry is invariant to
+        the ResizeImage intrinsics rescale (same FOV), so raw color
+        intrinsics + raw image size are exact."""
+        if not hasattr(self, "_frustum_cache"):
+            self._frustum_cache = {}
+        if scene not in self._frustum_cache:
+            from eprecon_tpu.data.transforms import get_view_frustum
+
+            intr = np.loadtxt(os.path.join(
+                self.source_path, scene, "intrinsic",
+                "intrinsic_color.txt"))[:3, :3]
+            size = self._color_size(
+                scene, next(m for m in self.metas
+                            if m["scene"] == scene)["image_ids"][0])
+            if size == (968, 1296):  # pad_scannet: 968 -> 972, cy += 2
+                intr = intr.copy()
+                intr[1, 2] += 2
+                size = (972, 1296)
+            rts = self._find_rts()
+            frs = []
+            for m in self.metas:
+                if m["scene"] != scene:
+                    continue
+                pts = np.concatenate(
+                    [get_view_frustum(
+                        rts.max_depth, size, intr,
+                        np.loadtxt(os.path.join(self.source_path, scene,
+                                                "pose", f"{fid}.txt")))
+                     for fid in m["image_ids"]], axis=1)
+                frs.append(pts)
+            self._frustum_cache[scene] = frs
+        return self._frustum_cache[scene]
+
+    def scene_anchor(self, scene: str, epoch: int):
+        """World-frame minimum fragment-window origin over the scene's
+        fragments for this epoch (in the epoch's transformed frame).
+
+        Anchoring the dense global volume here instead of at vol_origin
+        shrinks the required global_extent from the all-epoch union of the
+        translation-augmentation sweep to the largest single-epoch window
+        span (measured [448,384,352] -> [216,216,96] fine voxels on the
+        production synthetic scenes) — the reference never needs this
+        because its global map is an unbounded sparse union
+        (gru_fusion.py:91-98). Returns None when the pipeline has no
+        RandomTransformSpace stage."""
+        rts = self._find_rts()
+        if rts is None:
+            return None
+        if not hasattr(self, "_anchor_cache"):
+            self._anchor_cache = {}
+        key = (scene, int(epoch))
+        if key not in self._anchor_cache:
+            frs = self._scene_frustums(scene)
+            origin = np.asarray(
+                next(m for m in self.metas
+                     if m["scene"] == scene)["vol_origin"], np.float64)
+            augment = (self.mode == "train"
+                       and (rts.random_rotation or rts.random_translation))
+            if augment:
+                vols = self._read_scene_volumes(scene)
+                dims_m = (np.array(vols["tsdf_list_full"][0].shape)
+                          * rts.voxel_size)
+                T = rts.epoch_transform(origin, dims_m, int(epoch))
+                vol_origin = np.zeros(3)
+            else:
+                T = np.eye(4)
+                vol_origin = origin
+            orgs = np.stack([
+                rts.window_origin(T[:3, :3] @ p + T[:3, 3:4], vol_origin)
+                for p in frs])
+            self._anchor_cache[key] = (orgs.min(0) * rts.voxel_size
+                                       + vol_origin).astype(np.float32)
+            if len(self._anchor_cache) > 4 * self.max_cache:
+                self._anchor_cache.pop(next(iter(self._anchor_cache)))
+        return self._anchor_cache[key]
+
     def _build_sample(self, idx: int, imgs, depths, intrinsics, poses) -> dict:
         meta = self.metas[idx]
         scene = meta["scene"]
@@ -147,6 +236,9 @@ class ScanNetDataset:
         )
         if self.transforms is not None:
             data = self.transforms(data)
+            anchor = self.scene_anchor(scene, self.epoch)
+            if anchor is not None:
+                data["global_anchor"] = anchor
         return data
 
     def getitem_decoded(self, idx: int, imgs: np.ndarray,

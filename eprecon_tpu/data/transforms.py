@@ -115,6 +115,46 @@ class RandomTransformSpace:
         self.random_r = rng.random(max_epoch)
         self.random_t = rng.random((max_epoch, 3))
 
+    def epoch_transform(self, origin: np.ndarray, dims_m: np.ndarray,
+                        epoch: int) -> np.ndarray:
+        """World-frame augmentation matrix T for `epoch` (the
+        epoch-deterministic rotation/translation streams; reference
+        transforms.py:154-215). Exposed so the dataset can predict window
+        placement (scene anchoring) without running the full transform."""
+        r = self.random_r[epoch] * 2 * np.pi if self.random_rotation else 0.0
+        R = np.array([[np.cos(r), -np.sin(r)], [np.sin(r), np.cos(r)]])
+        xmin, ymin, zmin = origin
+        xmax, ymax, zmax = origin + dims_m
+        corners = R @ np.array([[xmin, xmin, xmax, xmax],
+                                [ymin, ymax, ymin, ymax]])
+        start = (np.array([corners[0].min(), corners[1].min(), zmin])
+                 - self.padding_start)
+        end = -dims_m + np.array([corners[0].max(), corners[1].max(), zmax]) \
+            + self.padding_end
+        t = self.random_t[epoch] if self.random_translation else np.full(3, .5)
+        t = t * start + (1 - t) * end - origin
+        T = np.eye(4)
+        T[:2, :2] = R
+        T[:3, 3] = -t
+        return T
+
+    def window_origin(self, frustum_pts: np.ndarray,
+                      vol_origin: np.ndarray) -> np.ndarray:
+        """Fragment window origin (fine voxels, relative to `vol_origin`)
+        from the union of (already-transformed) per-view frustum points —
+        the placement rule of _window_and_gt, factored out so dataset-side
+        anchor prediction and data/extent.py sizing share ONE implementation."""
+        center = (np.array([(frustum_pts[0].min() + frustum_pts[0].max()) / 2,
+                            (frustum_pts[1].min() + frustum_pts[1].max()) / 2,
+                            -0.2]) - vol_origin) / self.voxel_size
+        s = 2 ** self.n_layers
+        center[:2] = np.round(center[:2] / s) * s
+        center[2] = np.floor(center[2] / s) * s
+        org = np.zeros(3)
+        org[:2] = center[:2] - np.array(self.voxel_dim[:2]) // 2
+        org[2] = center[2]
+        return org
+
     def __call__(self, data):
         origin = np.asarray(data["vol_origin"], np.float64)
         if not (self.random_rotation or self.random_translation) \
@@ -134,22 +174,8 @@ class RandomTransformSpace:
             return self._window_and_gt(data, np.linalg.inv(T), origin)
         else:
             epoch = int(data.get("epoch", 0))
-            r = self.random_r[epoch] * 2 * np.pi if self.random_rotation else 0.0
-            R = np.array([[np.cos(r), -np.sin(r)], [np.sin(r), np.cos(r)]])
             dim_old = np.array(data["tsdf_list_full"][0].shape) * self.voxel_size
-            xmin, ymin, zmin = origin
-            xmax, ymax, zmax = origin + dim_old
-            corners = R @ np.array([[xmin, xmin, xmax, xmax],
-                                    [ymin, ymax, ymin, ymax]])
-            start = np.array([corners[0].min(), corners[1].min(), zmin]) - self.padding_start
-            end = (-np.array(data["tsdf_list_full"][0].shape) * self.voxel_size
-                   + np.array([corners[0].max(), corners[1].max(), zmax])
-                   + self.padding_end)
-            t = self.random_t[epoch] if self.random_translation else 0.5
-            t = t * start + (1 - t) * end - origin
-            T = np.eye(4)
-            T[:2, :2] = R
-            T[:3, 3] = -t
+            T = self.epoch_transform(origin, dim_old, epoch)
 
         data["extrinsics"] = [T @ e for e in data["extrinsics"]]
         data["vol_origin"] = np.zeros(3, np.float32)
@@ -172,15 +198,9 @@ class RandomTransformSpace:
         # world z=0; reference transforms.py:247) — deliberately NOT
         # vol_origin-relative: the GT volume's z origin sits metres below
         # the floor (frustum free space), while the window must start just
-        # under the geometry.
-        center = (np.array([(bnds[0].sum()) / 2, (bnds[1].sum()) / 2, -0.2])
-                  - data["vol_origin"]) / self.voxel_size
-        s = 2 ** self.n_layers
-        center[:2] = np.round(center[:2] / s) * s
-        center[2] = np.floor(center[2] / s) * s
-        org = np.zeros(3)
-        org[:2] = center[:2] - np.array(self.voxel_dim[:2]) // 2
-        org[2] = center[2]
+        # under the geometry. Placement math shared with dataset-side anchor
+        # prediction via window_origin().
+        org = self.window_origin(bnds, data["vol_origin"])
         vol_origin_partial = (org * self.voxel_size + data["vol_origin"]).astype(np.float32)
         data["vol_origin_partial"] = vol_origin_partial
 

@@ -103,18 +103,30 @@ class StreamingReconstructor:
                          proj_matrices: np.ndarray, vol_origin: np.ndarray,
                          vol_origin_partial: np.ndarray,
                          world_to_aligned_camera: np.ndarray,
-                         targets=None) -> Optional[SceneResult]:
+                         targets=None,
+                         anchor: Optional[np.ndarray] = None
+                         ) -> Optional[SceneResult]:
         """Feed one fragment. Returns the finished previous scene when the
-        scene name changes (reference gru_fusion.py:280-286), else None."""
+        scene name changes (reference gru_fusion.py:280-286), else None.
+
+        anchor: the scene's window-union anchor (data/scannet.py
+        scene_anchor) — with cfg.model.scene_anchor == "window_union" the
+        global volume anchors there, matching the training loop's placement
+        exactly; without it (live streams where future fragments are
+        unknown) the vol_origin scheme is the fallback."""
         finished = None
         if scene != self.scene_name:
             if self.scene_name is not None:
                 finished = self.flush()
             self.scene_name = scene
             m = self.cfg.model
-            self.global_origin = grid.scene_global_origin(
-                m.global_extent, m.n_vox, m.n_scales, m.voxel_size, vol_origin,
-                m.origin_margin)
+            if m.scene_anchor == "window_union" and anchor is not None:
+                self.global_origin = grid.anchored_global_origin(
+                    anchor, m.n_scales, m.voxel_size, m.origin_margin)
+            else:
+                self.global_origin = grid.scene_global_origin(
+                    m.global_extent, m.n_vox, m.n_scales, m.voxel_size,
+                    vol_origin, m.origin_margin)
             self._reset_state()
 
         rel = []

@@ -62,3 +62,22 @@ def scene_global_origin(global_extent: Sequence[int], n_vox: Sequence[int],
     # the origin up to snap/2 ABOVE vol_origin, making early fragments'
     # rel_origin negative (the clamp-shift bug class this helper fixes)
     return (np.floor(origin / snap + 1e-4) * snap).astype(np.float32)
+
+
+def anchored_global_origin(anchor: np.ndarray, n_scales: int,
+                           voxel_size: float, margin: int) -> np.ndarray:
+    """World origin of a scene's dense global volume from a window-union
+    anchor (the per-(scene, epoch) minimum fragment-window origin the dataset
+    predicts — data/scannet.py scene_anchor).
+
+    Unlike scene_global_origin (vol_origin anchoring, absolute-grid snap),
+    the anchor is already snapped to the coarsest window grid IN ITS OWN
+    FRAME, and every fragment window origin differs from it by a multiple of
+    2**n_scales voxels — so subtracting a snapped margin keeps every level's
+    rel_origin exactly integral without flooring to an absolute grid (which
+    would introduce a sub-voxel phase between the global volume and the
+    windows)."""
+    snap_units = 2 ** n_scales
+    margin_units = int(margin) // snap_units * snap_units
+    return (np.asarray(anchor, np.float32)
+            - np.float32(margin_units * voxel_size))

@@ -74,6 +74,33 @@ def _stop_requested() -> bool:
     return bool(stop) and os.path.exists(stop)
 
 
+# exit code of an RSS-ceiling self-restart (EX_TEMPFAIL): the caller re-runs
+# the train CLI with resume=true and training continues from the checkpoint
+RSS_RESTART_EXIT_CODE = 75
+
+
+def _rss_gb() -> float:
+    """Current resident set (GB) via /proc/self/statm (not ru_maxrss, which
+    is the peak and never decreases)."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * os.sysconf("SC_PAGE_SIZE") / 2 ** 30
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
+def _rss_restart_due(cfg: Config) -> bool:
+    """Long TPU training leaks host RSS through the relay client (~100
+    MB/step of retained transfer literals — PERF_NOTES 'Host-RSS leak');
+    round-4 runs needed an external watchdog and one was OOM-killed at 130
+    GB. With EPRECON_MAX_RSS_GB set, the loop instead self-checkpoints and
+    exits RSS_RESTART_EXIT_CODE between steps (safe: only mid-TPU-execution
+    kills wedge the relay), and the production runner re-execs with resume."""
+    limit = float(os.environ.get("EPRECON_MAX_RSS_GB", "0") or 0)
+    return limit > 0 and _rss_gb() > limit
+
+
 def train_epochs(cfg: Config, model, tstate: TrainState, step_fn,
                  dataset_iter_fn: Callable[[int], Iterable[dict]],
                  epochs: Optional[int] = None,
@@ -101,11 +128,23 @@ def train_epochs(cfg: Config, model, tstate: TrainState, step_fn,
                        f"{step_count} and exiting")
                 ckpt.save_checkpoint(cfg.logdir, epoch, tstate)
                 return tstate
-            if data.get("scene") != scene:
-                scene = data.get("scene")
+            if _rss_restart_due(cfg):
+                import sys
+
+                log_fn(f"host RSS {_rss_gb():.1f} GB over "
+                       f"EPRECON_MAX_RSS_GB — checkpointing at step "
+                       f"{step_count} and exiting {RSS_RESTART_EXIT_CODE} "
+                       f"for a resume-restart")
+                ckpt.save_checkpoint(cfg.logdir, epoch, tstate)
+                sys.exit(RSS_RESTART_EXIT_CODE)
+            # key on (scene, epoch): the augmentation transform — and with it
+            # the window-union anchor — changes at every epoch boundary even
+            # when the scene name does not
+            if (data.get("scene"), epoch) != scene:
+                scene = (data.get("scene"), epoch)
                 rec = make_recurrent_state(cfg.model)
-                # center the dense global volume on the scene origin so the
-                # randomly-transformed fragment windows index non-negatively
+                # anchor the dense global volume so this epoch's fragment
+                # windows index non-negatively
                 global_origin = _scene_origin(cfg, data)
             imgs, frag, targets = fragment_to_device_args(cfg, data, global_origin)
             tstate, rec, metrics = step_fn(tstate, imgs, frag, targets, rec)
@@ -131,14 +170,19 @@ def _tree_stack(items):
 
 
 def _scene_origin(cfg: Config, data: dict) -> np.ndarray:
-    """Global dense-volume origin for a new scene — same slack-capped margin
-    convention as the streaming pipeline (ops/grid.scene_global_origin), so
-    train/eval/inference agree on where fragment windows land. The previous
-    half-extent centering exceeded the volume's (extent - window) slack and
-    the rel_origin clamp silently relocated fragments."""
-    from eprecon_tpu.ops.grid import scene_global_origin
+    """Global dense-volume origin for a new (scene, epoch) — shared
+    convention with the streaming pipeline, so train/eval/inference agree on
+    where fragment windows land. Default anchoring ("window_union") uses the
+    dataset-predicted per-epoch window-union anchor; "vol_origin" is the
+    round-4 scheme (slack-capped margin below the scene origin), whose
+    full-coverage extents are unaffordable under translation augmentation."""
+    from eprecon_tpu.ops.grid import anchored_global_origin, scene_global_origin
 
     m = cfg.model
+    anchor = data.get("global_anchor")
+    if m.scene_anchor == "window_union" and anchor is not None:
+        return anchored_global_origin(anchor, m.n_scales, m.voxel_size,
+                                      m.origin_margin)
     return scene_global_origin(
         m.global_extent, m.n_vox, m.n_scales, m.voxel_size,
         np.asarray(data.get("vol_origin", np.zeros(3)), np.float32),
@@ -187,14 +231,23 @@ def train_epochs_sharded(cfg: Config, model, tstate: TrainState, step_fn,
                        f"{step_count} and exiting")
                 ckpt.save_checkpoint(cfg.logdir, epoch, tstate)
                 return tstate
+            if _rss_restart_due(cfg):
+                import sys
+
+                log_fn(f"host RSS {_rss_gb():.1f} GB over "
+                       f"EPRECON_MAX_RSS_GB — checkpointing at step "
+                       f"{step_count} and exiting {RSS_RESTART_EXIT_CODE} "
+                       f"for a resume-restart")
+                ckpt.save_checkpoint(cfg.logdir, epoch, tstate)
+                sys.exit(RSS_RESTART_EXIT_CODE)
             try:
                 batch = [dataset[next(st)] for st in streams]
             except StopIteration:
                 break
             args = []
             for d, data in enumerate(batch):
-                if data.get("scene") != scenes[d]:
-                    scenes[d] = data.get("scene")
+                if (data.get("scene"), epoch) != scenes[d]:
+                    scenes[d] = (data.get("scene"), epoch)
                     origins[d] = _scene_origin(cfg, data)
                     rec = jax.tree_util.tree_map(
                         lambda x, f: x.at[d].set(f), rec, fresh)
@@ -280,7 +333,7 @@ def evaluate(cfg: Config, reconstructor, dataset_iter: Iterable[dict],
             vol_origin=np.asarray(data["vol_origin"]),
             vol_origin_partial=np.asarray(data["vol_origin_partial"]),
             world_to_aligned_camera=data["world_to_aligned_camera"],
-            targets=targets)
+            targets=targets, anchor=data.get("global_anchor"))
         if targets is not None and reconstructor.last_losses:
             for k, v in reconstructor.last_losses.items():
                 loss_sums[k] = v if k not in loss_sums else loss_sums[k] + v

@@ -1,18 +1,19 @@
-"""Production-scale quality floor (VERDICT r3 #4) — TPU, hour-scale.
+"""Production-scale quality floor (VERDICT r3 #4, r4 #1/#8) — TPU, hour-scale.
 
 Runs the COMPLETE production protocol via tools_dev/production_quality_run
 (real-resolution multi-room synthetic ScanNet scenes → generate_gt →
 run_train on the TPU → run_test → per-scene F-score + PQ under the
-label-transfer protocol) and asserts floors on the HELD-OUT scene.
+label-transfer protocol) and asserts floors on the MEAN over the 3
+held-out scenes (single-scene PQ swings 0.08↔0.25 on 1-2 instance flips).
 
 Deliberately subprocess-driven: tests/conftest.py pins this process to CPU,
 while the protocol needs the real chip. Opt in with:
 
   EPRECON_PROD_QUALITY=1 python -m pytest tests/test_quality_prod.py -m quality_prod
 
-Floors are calibrated from the round-4 measured run (40 epochs, 3 train
-scenes, scene0003_00 held out): fscore 0.552 / PQ 0.247 — see PERF_NOTES
-"Production-scale quality". The floors sit ~35% under the measurement:
+Floors are calibrated ~35% under the round-5 measured run (40 epochs,
+3 train + 3 held-out scenes, window-union anchoring; committed artifact
+docs/artifacts/prodq_r5_summary.json, reproduced by this protocol):
 regression tripwire, not a benchmark.
 """
 import json
@@ -22,6 +23,11 @@ import subprocess
 import sys
 
 import pytest
+
+# calibrated from docs/artifacts/prodq_r5_summary.json (round-5 run), ~35%
+# under the measured held-out means
+FSCORE_FLOOR = 0.35
+PQ_FLOOR = 0.15
 
 
 def _relay_up(port: int = 8082) -> bool:
@@ -51,8 +57,11 @@ def test_production_quality_floor(tmp_path):
         timeout=4 * 3600)
     with open(os.path.join(root, "summary.json")) as f:
         summary = json.load(f)
-    assert summary, "no held-out scene metrics produced"
-    for scene, m in summary.items():
-        assert m["fscore"] > 0.35, (scene, m)
-        assert m["PQ"] > 0.15, (scene, m)
-        assert 0.0 <= m["SQ"] <= 1.0 and 0.0 <= m["RQ"] <= 1.0, (scene, m)
+    agg = summary.get("aggregate", {})
+    assert agg, "no held-out scene metrics produced"
+    assert agg["fscore"]["n"] >= 3, agg
+    # floors: see module docstring for the calibration artifact
+    assert agg["fscore"]["mean"] > FSCORE_FLOOR, agg["fscore"]
+    assert agg["PQ"]["mean"] > PQ_FLOOR, agg["PQ"]
+    for k in ("SQ", "RQ"):
+        assert 0.0 <= agg[k]["mean"] <= 1.0, (k, agg[k])

@@ -254,33 +254,49 @@ def test_train_checkpoint_eval_handoff(scannet_root, tmp_path):
         assert np.isfinite(m[key]) or np.isnan(m[key])
 
 
+def _coverage_origin(cfg, s, ext, margin):
+    """Global-volume origin the consumers would use for sample `s`."""
+    from eprecon_tpu.ops.grid import anchored_global_origin, scene_global_origin
+
+    m = cfg.model
+    if m.scene_anchor == "window_union" and s.get("global_anchor") is not None:
+        return anchored_global_origin(s["global_anchor"], m.n_scales,
+                                      m.voxel_size, margin)
+    return scene_global_origin(ext, m.n_vox, m.n_scales, m.voxel_size,
+                               np.asarray(s["vol_origin"], np.float32), margin)
+
+
 @pytest.mark.slow
-def test_auto_extent_covers_all_windows(scannet_root):
+@pytest.mark.parametrize("anchor_mode", ["window_union", "vol_origin"])
+def test_auto_extent_covers_all_windows(scannet_root, anchor_mode):
     """data/extent.py sizes the dense global volume so that every fragment
     window of the split indexes non-negatively and fits inside the extent
-    (the clamp-truncation class of bug behind the round-4 production-eval
-    recall collapse)."""
+    (the clamp-relocation class of bug behind the round-4 production quality
+    collapse) — under both anchoring schemes."""
+    import dataclasses
+
     from eprecon_tpu.data.extent import fit_global_extent
     from eprecon_tpu.main import build_dataset
-    from eprecon_tpu.ops.grid import scene_global_origin
 
     cfg = _cfg(scannet_root, scannet_root, "test")
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, scene_anchor=anchor_mode))
     ext, margin = fit_global_extent(cfg, "test", round_to=8)
     m = cfg.model
     assert all(e >= n for e, n in zip(ext, m.n_vox))
     assert margin % (2 ** m.n_scales) == 0 or margin >= 0
-    # scene_global_origin spends at most half the slack below vol_origin, so
-    # the fit must guarantee extent >= window + 2*margin per axis or the
-    # applied margin silently halves and fragments relocate (round-4
-    # production regression; ADVICE r4 medium)
-    assert all(e >= w + 2 * margin for e, w in zip(ext, m.n_vox)), (ext, margin)
+    if anchor_mode == "vol_origin":
+        # scene_global_origin spends at most half the slack below vol_origin,
+        # so the fit must guarantee extent >= window + 2*margin per axis or
+        # the applied margin silently halves and fragments relocate (round-4
+        # production regression; ADVICE r4 medium)
+        assert all(e >= w + 2 * margin for e, w in zip(ext, m.n_vox)), \
+            (ext, margin)
 
     ds = build_dataset(cfg, "test")
     for i in range(len(ds)):
         s = ds[i]
-        go = scene_global_origin(ext, m.n_vox, m.n_scales, m.voxel_size,
-                                 np.asarray(s["vol_origin"], np.float32),
-                                 margin)
+        go = _coverage_origin(cfg, s, ext, margin)
         rel = np.round((s["vol_origin_partial"] - go) / m.voxel_size)
         assert (rel >= 0).all(), (i, rel)
         assert (rel + m.n_vox <= ext).all(), (i, rel, ext)
@@ -293,22 +309,27 @@ def test_auto_extent_covers_all_windows(scannet_root):
 
 
 @pytest.mark.slow
-def test_auto_extent_train_sweep_exact(scannet_root):
+@pytest.mark.parametrize("anchor_mode", ["window_union", "vol_origin"])
+def test_auto_extent_train_sweep_exact(scannet_root, anchor_mode):
     """The train-mode sweep must predict the data pipeline's ACTUAL window
     placements (ADVICE r4: rotating the frustum-union AABB instead of the
     per-view frustum points can cross the 8-voxel snap and mispredict by a
     window-relocation's worth). Uncapped fit, then every augmented epoch's
-    real placements must fit."""
+    real placements must fit — under both anchoring schemes. For
+    window_union this also pins the dataset's scene_anchor prediction to the
+    transform's actual output (min over fragments == anchor)."""
     import dataclasses
 
     from eprecon_tpu.data.extent import fit_global_extent
     from eprecon_tpu.main import build_dataset
-    from eprecon_tpu.ops.grid import scene_global_origin
 
     epochs = 3
     cfg = _cfg(scannet_root, scannet_root, "train")
-    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
-        cfg.train, random_rotation_3d=True, random_translation_3d=True))
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, scene_anchor=anchor_mode),
+        train=dataclasses.replace(
+            cfg.train, random_rotation_3d=True, random_translation_3d=True))
     m = cfg.model
     ext, margin = fit_global_extent(cfg, "train", epochs=epochs, round_to=8,
                                     cap=(10_000, 10_000, 10_000),
@@ -316,11 +337,18 @@ def test_auto_extent_train_sweep_exact(scannet_root):
     ds = build_dataset(cfg, "train")
     for ep in range(epochs):
         ds.epoch = ep
+        partials = {}
         for i in range(len(ds)):
             s = ds[i]
-            go = scene_global_origin(ext, m.n_vox, m.n_scales, m.voxel_size,
-                                     np.asarray(s["vol_origin"], np.float32),
-                                     margin)
+            go = _coverage_origin(cfg, s, ext, margin)
             rel = np.round((s["vol_origin_partial"] - go) / m.voxel_size)
             assert (rel >= 0).all(), (ep, i, rel, margin)
             assert (rel + m.n_vox <= ext).all(), (ep, i, rel, ext)
+            partials.setdefault(s["scene"], []).append(
+                (s["vol_origin_partial"], s.get("global_anchor")))
+        if anchor_mode == "window_union":
+            for scene, items in partials.items():
+                actual_min = np.stack([p for p, _ in items]).min(0)
+                anchor = items[0][1]
+                assert anchor is not None
+                np.testing.assert_allclose(anchor, actual_min, atol=1e-5)
