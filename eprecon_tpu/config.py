@@ -121,6 +121,12 @@ class ModelConfig:
     origin_margin: int = 32
     # storage dtype of the global feature volumes ('bfloat16' halves HBM)
     global_dtype: str = "bfloat16"
+    # transfer images host->device as uint8 (4x less relay volume and 4x
+    # slower relay-client RSS retention; device casts to f32 before
+    # normalization). Pixels are uint8-sourced (jpgs), so this only
+    # quantizes the <=0.5/255 residue bilinear resizing introduces; off by
+    # default to keep float golden parity.
+    transfer_images_uint8: bool = False
     # window span for sparse-engine key packing (voxels); must be pow2 ≥ any
     # aligned-camera index range within a fragment.
     key_window: int = 512

@@ -190,10 +190,15 @@ def fit_global_extent(cfg, mode: str, epochs: Optional[int] = None,
         if np.prod(need) > np.prod(cap):
             ext = [min(e, c) for e, c in zip(ext, cap)]
         if ext != need:
-            applied = [min(margin, (e - w) // 2 // snap * snap)
-                       for e, w in zip(ext, win)]
+            if anchored:
+                detail = "windows beyond the capped span clamp at the top"
+            else:
+                applied = [min(margin, (e - w) // 2 // snap * snap)
+                           for e, w in zip(ext, win)]
+                detail = (f"applied per-axis margins {applied} of requested "
+                          f"{margin}")
             print(f"fit_global_extent: train cap truncates coverage — "
-                  f"need extent {need}, capped to {ext} (applied per-axis "
-                  f"margins {applied} of requested {margin}); out-of-volume "
-                  f"fragment windows will clamp (GRU writeback relocated)")
+                  f"need extent {need}, capped to {ext} ({detail}); "
+                  f"out-of-volume fragment windows will clamp "
+                  f"(GRU writeback relocated)")
     return tuple(ext), margin

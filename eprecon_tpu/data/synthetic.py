@@ -31,17 +31,39 @@ class Scene:
     boxes: List[Box]
     floor_z: float = 0.0
     floor_color: np.ndarray = None
+    # world-anchored procedural albedo texture (deterministic in world
+    # position, so it is photoconsistent across views). The untextured
+    # default leaves EPRecon's core occupancy cue — cross-view feature
+    # VARIANCE (reference occupancy_initialization.py:126-128) — blind on
+    # large uniform surfaces: a round-5 production run showed the model then
+    # learns a window-relative floor PRIOR instead of localizing the floor
+    # photometrically (PERF_NOTES 'Production-scale quality'). Real ScanNet
+    # surfaces are textured; textured=True makes the synthetic protocol
+    # match that. Kept opt-in so the tiny quality-loop calibrations
+    # (tests/quality_utils.py) stay valid.
+    textured: bool = False
 
     def __post_init__(self):
         if self.floor_color is None:
             self.floor_color = np.array([120.0, 120.0, 120.0])
 
 
+def _albedo_texture(pts: np.ndarray) -> np.ndarray:
+    """Multiplicative albedo in [0.55, 1.45] from world position: an 8 cm
+    checker plus two incommensurate sinusoid bands (breaks checker-period
+    aliasing). Deterministic — multi-view photoconsistent."""
+    c = (np.floor(pts / 0.08).sum(axis=1) % 2.0)
+    s1 = np.sin(pts[:, 0] * 23.0 + pts[:, 1] * 17.0 + pts[:, 2] * 11.0)
+    s2 = np.sin(pts[:, 0] * 5.3 - pts[:, 1] * 7.1 + pts[:, 2] * 3.7)
+    return 1.0 + 0.30 * (c - 0.5) + 0.15 * s1 + 0.15 * s2
+
+
 WALL_CLASS = 1           # nyu40 wall
 
 
 def make_scene(seed: int = 0, n_boxes: int = 3, extent: float = 3.0,
-               n_rooms: int = 1, room_pitch: float = 4.0) -> Scene:
+               n_rooms: int = 1, room_pitch: float = 4.0,
+               textured: bool = False) -> Scene:
     """n_rooms > 1 lays out `n_boxes` things per room along +x with a
     doorway-gapped dividing wall (class 1 stuff) between adjacent rooms —
     scenes larger than one fragment window, for multi-fragment streaming."""
@@ -69,7 +91,7 @@ def make_scene(seed: int = 0, n_boxes: int = 3, extent: float = 3.0,
                 boxes.append(Box(np.array([wx - 0.05, ylo, 0.0]),
                                  np.array([wx + 0.05, yhi, 2.2]),
                                  WALL_CLASS, WALL_CLASS, wall_color))
-    return Scene(boxes)
+    return Scene(boxes, textured=textured)
 
 
 def _ray_box(origins, dirs, lo, hi):
@@ -126,6 +148,10 @@ def render_view(scene: Scene, intr: np.ndarray, pose: np.ndarray,
         rgb[sel] = box.color
         sem[sel] = box.cls
         ins[sel] = box.instance
+    if scene.textured:
+        hit = best_obj != -1
+        pts = origins[hit] + best_t[hit, None] * dirs[hit]
+        rgb[hit] = np.clip(rgb[hit] * _albedo_texture(pts)[:, None], 0, 255)
     miss = best_obj == -1
     rgb[miss] = 30.0
     invalid = z <= 0

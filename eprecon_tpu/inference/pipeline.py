@@ -153,6 +153,9 @@ class StreamingReconstructor:
         frag = FragmentInputs(
             jnp.asarray(proj_matrices), jnp.asarray(vol_origin_partial),
             jnp.asarray(world_to_aligned_camera), jnp.asarray(np.stack(rel)))
+        if (self.cfg.model.transfer_images_uint8
+                and np.asarray(imgs).dtype != np.uint8):
+            imgs = np.clip(np.round(imgs), 0, 255).astype(np.uint8)
         outputs, losses, self.rec_state, self.pmap_state = self._fwd(
             self.variables, jnp.asarray(imgs), frag, self.rec_state,
             self.pmap_state, targets)

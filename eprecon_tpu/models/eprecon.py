@@ -487,7 +487,14 @@ class EPRecon(nn.Module):
     use_running_average: bool = False
 
     def normalize(self, imgs: jnp.ndarray) -> jnp.ndarray:
-        """BGR mean/std normalization (reference neuralrecon.py:42-44)."""
+        """BGR mean/std normalization (reference neuralrecon.py:42-44).
+
+        Accepts uint8 images too: callers may transfer pixels as uint8 (4x
+        less host->device relay volume AND 4x slower relay-client RSS
+        retention — PERF_NOTES 'Host-RSS leak') and the cast to f32 happens
+        on device."""
+        if jnp.issubdtype(imgs.dtype, jnp.integer):
+            imgs = imgs.astype(jnp.float32)
         mean = jnp.asarray(self.cfg.pixel_mean)
         std = jnp.asarray(self.cfg.pixel_std)
         return (imgs - mean) / std

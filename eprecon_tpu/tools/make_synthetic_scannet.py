@@ -76,7 +76,10 @@ def write_scene(scans_dir: str, labels_dir: str, scene: str, seed: int = 0,
         os.makedirs(os.path.join(root, sub), exist_ok=True)
     os.makedirs(labels_dir, exist_ok=True)
 
-    sc = make_scene(seed, n_rooms=n_rooms)
+    # textured: large uniform surfaces blind the cross-view feature-variance
+    # occupancy cue (see data/synthetic.Scene.textured); real ScanNet
+    # surfaces are textured, so the on-disk protocol scenes are too
+    sc = make_scene(seed, n_rooms=n_rooms, textured=True)
     h, w = image_hw
     f = 0.9 * w / 2
     intr = np.array([[f, 0, w / 2 - 0.5], [0, f, h / 2 - 0.5], [0, 0, 1]],

@@ -60,8 +60,11 @@ def fragment_to_device_args(cfg: Config, data: dict, global_origin: np.ndarray):
             occ=tuple(jnp.asarray(o) for o in data["occ_list"]),
             semantic=jnp.asarray(data["semantic"]) if "semantic" in data else None,
             instance=jnp.asarray(data["instance"]) if "instance" in data else None)
-    imgs = jnp.asarray(np.stack(data["imgs"]) if isinstance(data["imgs"], list)
-                       else data["imgs"])
+    imgs_np = (np.stack(data["imgs"]) if isinstance(data["imgs"], list)
+               else data["imgs"])
+    if cfg.model.transfer_images_uint8 and imgs_np.dtype != np.uint8:
+        imgs_np = np.clip(np.round(imgs_np), 0, 255).astype(np.uint8)
+    imgs = jnp.asarray(imgs_np)
     return imgs, frag, targets
 
 

@@ -12,9 +12,14 @@ while the protocol needs the real chip. Opt in with:
   EPRECON_PROD_QUALITY=1 python -m pytest tests/test_quality_prod.py -m quality_prod
 
 Floors are calibrated ~35% under the round-5 measured run (40 epochs,
-3 train + 3 held-out scenes, window-union anchoring; committed artifact
-docs/artifacts/prodq_r5_summary.json, reproduced by this protocol):
-regression tripwire, not a benchmark.
+3 train + 3 held-out scenes, window-union anchoring, 2 automatic RSS
+restarts): held-out mean fscore 0.2692 / PQ 0.1402, per-scene fscore spread
+0.267-0.271 — committed artifact docs/artifacts/prodq_r5_summary.json,
+produced by exactly this protocol (/tmp/prodq5, 2026-08-19). Untrained
+weights score fscore 0.133 / PQ 0.0 on the same protocol, and the window
+union only reaches 79% of the GT surface (measured, PERF_NOTES
+'Production-scale quality'), so these floors are regression tripwires on a
+coverage-limited synthetic protocol, not a benchmark.
 """
 import json
 import os
@@ -25,9 +30,10 @@ import sys
 import pytest
 
 # calibrated from docs/artifacts/prodq_r5_summary.json (round-5 run), ~35%
-# under the measured held-out means
-FSCORE_FLOOR = 0.35
-PQ_FLOOR = 0.15
+# under the measured held-out means (0.2692 / 0.1402); untrained baseline
+# is 0.133 / 0.0, so the fscore floor sits above untrained too
+FSCORE_FLOOR = 0.175
+PQ_FLOOR = 0.09
 
 
 def _relay_up(port: int = 8082) -> bool:

@@ -127,3 +127,33 @@ def test_sharded_training_freeze_and_scene_reset(tmp_path):
         jax.tree_util.tree_leaves(tstate.params["neucon_net"]["tsdf_pred_2"])[0])
     assert not np.allclose(train_head_before, train_head_after)
     assert any("epoch 1" in l for l in logs)
+
+
+def test_uint8_image_transfer_roundtrip():
+    """model.transfer_images_uint8 sends pixels as uint8 (4x less relay
+    volume/RSS retention) and the device-side normalize cast reproduces the
+    float path exactly for uint8-valued pixels."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eprecon_tpu.config import default_config
+    from eprecon_tpu.train.loop import fragment_to_device_args
+
+    cfg = default_config()
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, transfer_images_uint8=True))
+    rng = np.random.default_rng(0)
+    imgs_f32 = rng.integers(0, 256, (2, 8, 8, 3)).astype(np.float32)
+    data = dict(
+        imgs=[imgs_f32[0], imgs_f32[1]],
+        proj_matrices=np.zeros((2, 3, 4, 4), np.float32),
+        vol_origin_partial=np.zeros(3, np.float32),
+        world_to_aligned_camera=np.eye(4, dtype=np.float32))
+    imgs, _, _ = fragment_to_device_args(cfg, data, np.zeros(3, np.float32))
+    assert imgs.dtype == jnp.uint8
+    # device-side cast recovers the exact float values (pixels are
+    # uint8-valued; only post-resize fractions would quantize)
+    np.testing.assert_array_equal(np.asarray(imgs).astype(np.float32),
+                                  imgs_f32)
