@@ -169,6 +169,21 @@ def main(argv=None):
     args = ap.parse_args(argv)
     # EPRECON_PLATFORM=cpu|tpu is honored in eprecon_tpu/__init__.py
 
+    # persistent compile cache (per-backend — AOT results don't transfer
+    # across machine types): without it every CLI start pays the full cold
+    # relay compile (~15 min at production extents), which multiplies the
+    # cost of RSS-restart resumes (train/loop.py) and phase-per-process
+    # runners. bench.py sets the same dirs.
+    import os as _os
+
+    import jax as _jax
+
+    _cache = _os.path.expanduser(
+        f"~/.cache/jax_compilation_{_jax.default_backend()}")
+    _os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     from eprecon_tpu.config import load_config, parse_cli_overrides
 
     cfg = load_config(args.cfg, parse_cli_overrides(args.opts))
